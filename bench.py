@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip, full unpaired try-on at 1024x768 (BASELINE.json).
+
+Runs the flagship jitted inference pipeline (tocg ngf=96 at 256x192 + SPADE
+'most' generator at 1024x768 — the /root/reference/test_generator.py workload)
+on synthetic data with random weights, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's published hardware story: the repo
+publishes no inference throughput (BASELINE.md), so vs_baseline is reported
+against an estimated PyTorch A100 baseline of 2.0 img/s for this exact
+workload (batch-1 1024x768 two-stage GAN inference).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrviton_tpu.config import PipelineConfig, SPADEGenConfig, TOCGConfig
+from hrviton_tpu.core.precision import bf16_params
+from hrviton_tpu.models import ConditionGenerator, SPADEGenerator
+from hrviton_tpu.pipelines import tryon_forward
+
+# Estimated reference throughput (img/s) on an A100 for batch-1 1024x768
+# two-stage inference; the repo itself publishes no number (BASELINE.md).
+PYTORCH_A100_BASELINE_IMGS_PER_SEC = 2.0
+
+FINE_H, FINE_W = 1024, 768
+COND_H, COND_W = 256, 192
+# batch 8 exceeds one v5e chip's 16G HBM (full-res SPADE activations with
+# 80 channels pad 1.6x to the 128-lane); 4 fits comfortably
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+
+
+def main():
+    dtype = jnp.bfloat16
+    pcfg = PipelineConfig()
+    tocg = ConditionGenerator(TOCGConfig(ngf=96))
+    gen = SPADEGenerator(SPADEGenConfig(ngf=64))
+
+    k = jax.random.PRNGKey(0)
+    tv = jax.jit(lambda key: tocg.init(
+        key, jnp.zeros((1, COND_H, COND_W, 4)),
+        jnp.zeros((1, COND_H, COND_W, 16)), train=False))(k)
+    gv = jax.jit(lambda key: gen.init(
+        {"params": key, "noise": key}, jnp.zeros((1, FINE_H, FINE_W, 9)),
+        jnp.zeros((1, FINE_H, FINE_W, 7)), train=False))(k)
+    tv = bf16_params(tv)
+    gv = bf16_params(gv)
+
+    rng = np.random.default_rng(0)
+
+    def arr(c):
+        return jnp.asarray(rng.standard_normal((BATCH, FINE_H, FINE_W, c)),
+                           dtype=dtype)
+
+    batch = {
+        "cloth": arr(3),
+        "cloth_mask": jnp.asarray(
+            rng.uniform(0, 1, (BATCH, FINE_H, FINE_W, 1)), dtype=dtype),
+        "parse_agnostic": arr(13),
+        "densepose": arr(3),
+        "agnostic": arr(3),
+    }
+
+    noise_key = jax.random.PRNGKey(1)
+
+    # weights as jit arguments (not HLO constants)
+    @jax.jit
+    def step(tocg_vars, gen_vars, b):
+        def tocg_apply(i1, i2):
+            return tocg.apply(tocg_vars, i1, i2, train=False)
+
+        def gen_apply(x, seg):
+            return gen.apply(gen_vars, x, seg, train=False,
+                             rngs={"noise": noise_key})
+
+        out, _ = tryon_forward(tocg_apply, gen_apply, b, pcfg)
+        return out
+
+    # warmup / compile
+    step(tv, gv, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(tv, gv, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "unpaired_tryon_1024x768_inference_throughput",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / PYTORCH_A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Stage-2 training CLI — drop-in equivalent of
+/root/reference/train_generator.py (flags preserved; see --help).
+
+Frozen tocg conditioning + SPADE generator/discriminator training with TTUR
+and linear decay, in-train LPIPS validation over 500 test images every
+--lpips_count steps, data-parallel over the device mesh, bf16-safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrviton_tpu.cli.common import (add_data_flags, add_spade_flags,
+                                    add_tocg_flags, data_cfg_from_args,
+                                    load_gen_variables, load_tocg_variables)
+from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
+                                SPADEDiscriminatorConfig, SPADEGenConfig,
+                                TOCGConfig)
+from hrviton_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from hrviton_tpu.data import Loader, VitonHDDataset
+from hrviton_tpu.losses.lpips import make_lpips
+from hrviton_tpu.losses.perceptual import make_vgg_loss
+from hrviton_tpu.models import ConditionGenerator
+from hrviton_tpu.ops.resize import interpolate
+from hrviton_tpu.train import GeneratorTrainer, save_pytree
+from hrviton_tpu.utils import Board
+
+
+def get_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True)
+    add_data_flags(p, dataroot="./data/", datamode="train",
+                   data_list="train_pairs.txt", fine_width=768,
+                   fine_height=1024, batch_size=8)
+    add_tocg_flags(p)
+    add_spade_flags(p)
+    p.add_argument("--tensorboard_dir", default="tensorboard")
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--tocg_checkpoint", default="")
+    p.add_argument("--gen_checkpoint", default="")
+    p.add_argument("--dis_checkpoint", default="")
+    p.add_argument("--vgg_weights", default="")
+    p.add_argument("--lpips_weights", default="")
+    p.add_argument("--tensorboard_count", type=int, default=100)
+    p.add_argument("--display_count", type=int, default=100)
+    p.add_argument("--save_count", type=int, default=10000)
+    p.add_argument("--load_step", type=int, default=0)
+    p.add_argument("--keep_step", type=int, default=100000)
+    p.add_argument("--decay_step", type=int, default=100000)
+    p.add_argument("--lpips_count", type=int, default=1000)
+    p.add_argument("--lpips_samples", type=int, default=500)
+    p.add_argument("--test_datasetting", default="paired")
+    p.add_argument("--test_dataroot", default="./data/")
+    p.add_argument("--test_data_list", default="test_pairs.txt")
+    p.add_argument("--G_lr", type=float, default=1e-4)
+    p.add_argument("--D_lr", type=float, default=4e-4)
+    p.add_argument("--no_ganFeat_loss", action="store_true")
+    p.add_argument("--no_vgg_loss", action="store_true")
+    p.add_argument("--lambda_feat", type=float, default=10.0)
+    p.add_argument("--lambda_vgg", type=float, default=10.0)
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--num_D", type=int, default=2)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--norm_D", default="spectralinstance")
+    p.add_argument("--GT", action="store_true")
+    p.add_argument("--cond_height", type=int, default=256)
+    p.add_argument("--cond_width", type=int, default=192)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    opt = get_opt(argv)
+    print(opt)
+
+    tcfg = GeneratorTrainConfig(
+        batch_size=opt.batch_size, keep_step=opt.keep_step,
+        decay_step=opt.decay_step, g_lr=opt.G_lr, d_lr=opt.D_lr,
+        lambda_feat=opt.lambda_feat, lambda_vgg=opt.lambda_vgg,
+        no_gan_feat_loss=opt.no_ganFeat_loss, no_vgg_loss=opt.no_vgg_loss,
+        gt_mode=opt.GT, occlusion=opt.occlusion,
+        clothmask_composition=opt.clothmask_composition,
+        lpips_count=opt.lpips_count, display_count=opt.display_count,
+        save_count=opt.save_count, tensorboard_count=opt.tensorboard_count,
+        load_step=opt.load_step)
+    pcfg = PipelineConfig(fine_height=opt.fine_height, fine_width=opt.fine_width,
+                          cond_height=opt.cond_height, cond_width=opt.cond_width,
+                          clothmask_composition=opt.clothmask_composition,
+                          occlusion=opt.occlusion)
+
+    # frozen tocg (weights ride as a jit argument via the `frozen` dict)
+    tocg_cfg = None
+    tocg_vars = {}
+    if not opt.GT:
+        tocg_cfg = TOCGConfig(ngf=96, warp_feature=opt.warp_feature,
+                              out_layer=opt.out_layer)
+        tocg = ConditionGenerator(tocg_cfg)
+        template = jax.jit(lambda key: tocg.init(
+            key, jnp.zeros((1, opt.cond_height, opt.cond_width, 4)),
+            jnp.zeros((1, opt.cond_height, opt.cond_width, 16)),
+            train=False))(jax.random.PRNGKey(0))
+        tocg_vars = load_tocg_variables(opt.tocg_checkpoint, template,
+                                        opt.out_layer) \
+            if opt.tocg_checkpoint else template
+
+    gen_cfg = SPADEGenConfig(ngf=opt.ngf, gen_semantic_nc=opt.gen_semantic_nc,
+                             num_upsampling_layers=opt.num_upsampling_layers,
+                             norm_g=opt.norm_G, fine_height=opt.fine_height,
+                             fine_width=opt.fine_width)
+    d_cfg = SPADEDiscriminatorConfig(gen_semantic_nc=opt.gen_semantic_nc,
+                                     ndf=opt.ndf, n_layers_d=opt.n_layers_D,
+                                     num_d=opt.num_D,
+                                     no_gan_feat_loss=opt.no_ganFeat_loss)
+
+    vgg_vars = None
+    if opt.vgg_weights:
+        from hrviton_tpu.train.checkpoint import load_pytree
+        vgg_vars = load_pytree(opt.vgg_weights)
+    vgg = make_vgg_loss(vgg_vars, image_hw=(opt.fine_height, opt.fine_width))
+    lpips_vars = None
+    if opt.lpips_weights:
+        from hrviton_tpu.train.checkpoint import load_pytree
+        lpips_vars = load_pytree(opt.lpips_weights)
+    lpips = make_lpips(lpips_vars)
+
+    trainer = GeneratorTrainer(gen_cfg, d_cfg, tcfg, pcfg, tocg_cfg)
+    frozen = {"vgg": vgg.variables, "tocg": tocg_vars}
+    state = trainer.init(jax.random.PRNGKey(opt.seed))
+    if opt.gen_checkpoint and os.path.exists(opt.gen_checkpoint):
+        gvars = load_gen_variables(opt.gen_checkpoint, state.g.variables(),
+                                   opt.num_upsampling_layers)
+        from hrviton_tpu.train.state import NetState
+        extras = {k: gvars.get(k, state.g.extras[k]) for k in state.g.extras}
+        state = state.replace(g=NetState(gvars["params"], extras,
+                                         state.g.opt_state))
+
+    # data
+    train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
+    train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
+                          num_workers=opt.workers, seed=opt.seed)
+    import dataclasses
+    test_cfg = dataclasses.replace(
+        data_cfg_from_args(opt, mode="test", data_list=opt.test_data_list),
+        dataroot=opt.test_dataroot)
+    test_ds = VitonHDDataset(test_cfg, mode="test_gen")
+    test_loader = Loader(test_ds, 1, shuffle=False, num_workers=opt.workers,
+                         indices=range(min(opt.lpips_samples, len(test_ds))))
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated(mesh))
+    frozen = jax.device_put(frozen, replicated(mesh))
+    shard = batch_sharding(mesh)
+    board = Board(os.path.join(opt.tensorboard_dir, opt.name))
+    ckpt_dir = os.path.join(opt.checkpoint_dir, opt.name)
+    rng = jax.random.PRNGKey(opt.seed + 1)
+
+    lpips_resize = jax.jit(
+        lambda a, b: lpips(interpolate(a, (128, 128), "bilinear"),
+                           interpolate(b, (128, 128), "bilinear")))
+
+    def put(batch):
+        for k in ("im_name", "c_name"):
+            batch.pop(k, None)
+        # flatten paired cloth keys (train_generator.py:195-196)
+        batch["cloth"] = batch["cloth"]["paired"]
+        batch["cloth_mask"] = batch["cloth_mask"]["paired"]
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+
+    t0 = time.time()
+    with mesh:
+        for step in range(opt.load_step, opt.keep_step + opt.decay_step):
+            batch = put(train_loader.next_batch())
+            rng, sub = jax.random.split(rng)
+            state, metrics = trainer.train_step(state, batch, sub, frozen)
+
+            if (step + 1) % tcfg.display_count == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"step {step + 1} t={time.time() - t0:.1f}s " +
+                      " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())),
+                      flush=True)
+            if (step + 1) % tcfg.tensorboard_count == 0:
+                board.scalars({k: float(v) for k, v in metrics.items()}, step + 1)
+            if (step + 1) % tcfg.lpips_count == 0:
+                dists = []
+                for _ in range(opt.lpips_samples):
+                    tb = put(test_loader.next_batch())
+                    rng, sub = jax.random.split(rng)
+                    out = trainer.generate(state, tb, sub,
+                                           frozen.get("tocg"))
+                    dists.append(float(jnp.mean(lpips_resize(tb["image"], out))))
+                board.scalar("test/LPIPS", float(np.mean(dists)), step + 1)
+                print(f"LPIPS {np.mean(dists):.4f}", flush=True)
+            if (step + 1) % tcfg.save_count == 0:
+                save_pytree(state.g.variables(),
+                            os.path.join(ckpt_dir, f"gen_step_{step + 1:06d}.ckpt"))
+                save_pytree(state.d.variables(),
+                            os.path.join(ckpt_dir, f"dis_step_{step + 1:06d}.ckpt"))
+
+    save_pytree(state.g.variables(), os.path.join(ckpt_dir, "gen_model_final.ckpt"))
+    save_pytree(state.d.variables(), os.path.join(ckpt_dir, "dis_model_final.ckpt"))
+    board.close()
+    print(f"Finished training {opt.name}!")
+
+
+if __name__ == "__main__":
+    main()

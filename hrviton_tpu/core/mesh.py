@@ -1,0 +1,67 @@
+"""Device mesh and sharding helpers — the framework's communication backend.
+
+Replaces the reference's in-process DataParallel + threaded SyncBN machinery
+(/root/reference/sync_batchnorm/, train_generator.py:171-178) with the TPU-native
+design: a named `jax.sharding.Mesh` ('data' for batch sharding, 'model' reserved
+for tensor parallelism), GSPMD-compiled collectives over ICI/DCN.
+
+Under `jax.jit` with batch-sharded inputs, any cross-batch reduction (BatchNorm
+moments, loss means, gradient sums) is automatically a cross-replica collective;
+no NCCL/MPI translation layer exists or is needed (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
+           "replicated", "shard_batch", "init_distributed"]
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host runtime init (jax.distributed); no-op for single host."""
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(devices: Optional[Sequence] = None, model_axis: int = 1) -> Mesh:
+    """Build a (data, model) mesh over all (or the given) devices.
+
+    model_axis=1 puts every device on the data axis — the reference's only
+    parallelism strategy is data parallel (SURVEY.md §2.2); the model axis is a
+    first-class citizen so tensor-parallel shardings can be annotated later
+    without re-plumbing.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_axis:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,172 @@
+"""VITON-HD dataset reader — the framework's data API (L0).
+
+Produces the exact per-sample dict contract of the reference loaders
+(/root/reference/cp_dataset.py:223-242, cp_dataset_test.py:219-241), as NHWC
+float32 numpy arrays in [-1, 1] (images) / {0, 1} (masks) / one-hot maps:
+
+  keys: 'cloth' {'paired','unpaired'}, 'cloth_mask' {...}, 'parse_agnostic'
+  (13ch), 'densepose', 'pose', 'agnostic' (train/generator-test flavors),
+  'parse_onehot' (int index map), 'parse' (13ch), 'pcm', 'parse_cloth',
+  'image', 'im_name', 'c_name'.
+
+Directory layout (SURVEY.md §3.4):
+  {dataroot}/{datamode}/{image, image-parse-v3, image-parse-agnostic-v3.2,
+  cloth, cloth-mask, openpose_img, openpose_json, image-densepose}
+  {dataroot}/{data_list} with "im_name c_name" lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from hrviton_tpu.config import DataConfig
+from hrviton_tpu.data.agnostic import build_cloth_agnostic
+from hrviton_tpu.ops.parse import LABELS_20_TO_13
+
+__all__ = ["VitonHDDataset"]
+
+
+def _to_unit(img: Image.Image) -> np.ndarray:
+    """HWC float in [-1, 1] (ToTensor + Normalize(.5,.5) parity)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr * 2.0 - 1.0
+
+
+def _resize(img: Image.Image, w: int, h: int, nearest: bool = False) -> Image.Image:
+    if img.size == (w, h):
+        return img
+    return img.resize((w, h), Image.NEAREST if nearest else Image.BILINEAR)
+
+
+class VitonHDDataset:
+    """Map-style dataset over a VITON-HD directory tree.
+
+    Flavors (reference classes they correspond to):
+      * mode='train'    -> CPDataset (paired cloth only, agnostic included)
+      * mode='test'     -> CPDatasetTest of cp_dataset.py (paired+unpaired, no
+                           agnostic) — the condition-stage test flavor
+      * mode='test_gen' -> CPDatasetTest of cp_dataset_test.py (paired+unpaired
+                           + agnostic) — the generator-stage test flavor
+    """
+
+    def __init__(self, cfg: DataConfig, mode: str = "train"):
+        if mode not in ("train", "test", "test_gen"):
+            raise ValueError(mode)
+        self.cfg = cfg
+        self.mode = mode
+        self.h, self.w = cfg.fine_height, cfg.fine_width
+        self.data_path = osp.join(cfg.dataroot, cfg.datamode)
+
+        im_names: List[str] = []
+        c_names: List[str] = []
+        with open(osp.join(cfg.dataroot, cfg.data_list)) as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                im_names.append(parts[0])
+                c_names.append(parts[1] if len(parts) > 1 else parts[0])
+        self.im_names = im_names
+        self.c_names = {"paired": im_names, "unpaired": c_names}
+
+    def __len__(self) -> int:
+        return len(self.im_names)
+
+    # ---- per-component loaders ------------------------------------------------
+
+    def _cloth(self, c_name: str):
+        c = Image.open(osp.join(self.data_path, "cloth", c_name)).convert("RGB")
+        cm = Image.open(osp.join(self.data_path, "cloth-mask", c_name))
+        c = _to_unit(_resize(c, self.w, self.h))
+        cm = np.asarray(_resize(cm, self.w, self.h, nearest=True))
+        if cm.ndim == 3:
+            cm = cm[..., 0]
+        cm = (cm >= 128).astype(np.float32)[..., None]
+        return c, cm
+
+    def _parse_maps(self, labels20: np.ndarray):
+        """20-label map -> (13ch one-hot, int group-index map) (cp_dataset.py:150-177)."""
+        onehot13 = np.zeros((self.h, self.w, self.cfg.semantic_nc), np.float32)
+        index_map = np.zeros((self.h, self.w), np.int32)
+        for dst, srcs in LABELS_20_TO_13.items():
+            for s in srcs:
+                sel = labels20 == s
+                onehot13[..., dst] += sel
+                index_map[sel] = dst
+        return onehot13, index_map
+
+    def _pose_points(self, im_name: str) -> np.ndarray:
+        pose_name = im_name.replace(".jpg", "_keypoints.json")
+        with open(osp.join(self.data_path, "openpose_json", pose_name)) as f:
+            label = json.load(f)
+        pts = np.array(label["people"][0]["pose_keypoints_2d"],
+                       dtype=np.float64).reshape(-1, 3)[:, :2]
+        return pts
+
+    # ---- sample assembly -------------------------------------------------------
+
+    def __getitem__(self, index: int) -> Dict:
+        im_name = self.im_names[index]
+        keys = ("paired",) if self.mode == "train" else ("paired", "unpaired")
+
+        c_name, cloth, cloth_mask = {}, {}, {}
+        for key in keys:
+            c_name[key] = self.c_names[key][index]
+            cloth[key], cloth_mask[key] = self._cloth(c_name[key])
+
+        im_pil_big = Image.open(osp.join(self.data_path, "image", im_name))
+        im = _to_unit(_resize(im_pil_big, self.w, self.h))
+
+        parse_name = im_name.replace(".jpg", ".png")
+        parse_pil_big = Image.open(
+            osp.join(self.data_path, "image-parse-v3", parse_name))
+        parse_small = np.asarray(
+            _resize(parse_pil_big, self.w, self.h, nearest=True))
+        parse13, parse_onehot = self._parse_maps(parse_small)
+
+        agn_pil = Image.open(osp.join(
+            self.data_path, "image-parse-agnostic-v3.2", parse_name))
+        agn_small = np.asarray(_resize(agn_pil, self.w, self.h, nearest=True))
+        parse_agnostic13, _ = self._parse_maps(agn_small)
+
+        pcm = parse13[..., 3:4]
+        parse_cloth = im * pcm + (1.0 - pcm)
+
+        pose_png = im_name.replace(".jpg", "_rendered.png")
+        pose_map = _to_unit(_resize(
+            Image.open(osp.join(self.data_path, "openpose_img", pose_png))
+            .convert("RGB"), self.w, self.h))
+
+        densepose = _to_unit(_resize(
+            Image.open(osp.join(self.data_path, "image-densepose", im_name))
+            .convert("RGB"), self.w, self.h))
+
+        sample = {
+            "c_name": c_name,
+            "im_name": im_name,
+            "cloth": cloth,
+            "cloth_mask": cloth_mask,
+            "parse_agnostic": parse_agnostic13,
+            "densepose": densepose,
+            "pose": pose_map,
+            "parse_onehot": parse_onehot,
+            "parse": parse13,
+            "pcm": pcm,
+            "parse_cloth": parse_cloth,
+            "image": im,
+        }
+
+        if self.mode in ("train", "test_gen"):
+            pose_data = self._pose_points(im_name)
+            agnostic = build_cloth_agnostic(
+                im_pil_big.convert("RGB"), parse_pil_big, pose_data)
+            sample["agnostic"] = _to_unit(_resize(agnostic, self.w, self.h))
+
+        return sample

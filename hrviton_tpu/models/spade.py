@@ -1,0 +1,216 @@
+"""SPADE (ALIAS) image generator — stage 2 of HR-VITON.
+
+TPU-native re-design of ``SPADEGenerator`` and friends
+(/root/reference/network_generator.py:52-245): NHWC, Flax, multi-scale input
+heads, spectrally-normalized SPADE residual blocks conditioned on the 7-channel
+parse map, per-norm learned noise injection.
+
+Notes vs the reference:
+  * 'normal' num_upsampling_layers is rejected: the reference crashes there
+    (G_middle_1 concat size mismatch, network_generator.py:228-230); only
+    'more'/'most' are reachable configurations.
+  * Noise is injected in eval as well (parity: network_generator.py:104-107);
+    thread a 'noise' PRNG via ``apply(..., rngs={'noise': key})``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hrviton_tpu.config import SPADEGenConfig
+from hrviton_tpu.nn.layers import (Conv2d, InstanceNorm2d, SpectralNorm2d,
+                                   BatchNorm2d, leaky_relu, xavier_normal_init)
+from hrviton_tpu.ops.resize import interpolate
+
+_xavier = xavier_normal_init(0.02)
+
+
+class MaskNorm(nn.Module):
+    """MaskNorm (/root/reference/network_generator.py:52-72): separate
+    instance-normalization of fore/background regions with pixel-count rescale."""
+
+    @nn.compact
+    def __call__(self, x, mask):
+        mask = jax.lax.stop_gradient(mask)
+
+        def region(r, m):
+            b, h, w, c = r.shape
+            num = jnp.sum(m, axis=(1, 2), keepdims=True)
+            num = jnp.where(num == 0, 1.0, num)
+            mu = jnp.sum(r, axis=(1, 2), keepdims=True) / num
+            normalized = InstanceNorm2d()(r + (1.0 - m) * mu)
+            return normalized * jnp.sqrt(num / (h * w))
+
+        fg = region(x * mask, mask)
+        bg = region(x * (1.0 - mask), 1.0 - mask)
+        return fg + bg
+
+
+class SPADENorm(nn.Module):
+    """SPADENorm 'alias*' (/root/reference/network_generator.py:75-122)."""
+
+    norm_nc: int
+    label_nc: int
+    norm_type: str = "aliasinstance"   # aliasinstance | aliasbatch | aliasmask
+    nhidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, seg, misalign_mask=None, train: bool = True):
+        b, h, w, _ = x.shape
+        noise_scale = self.param("noise_scale", nn.initializers.zeros,
+                                 (self.norm_nc,), jnp.float32)
+        noise = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
+                                  dtype=jnp.float32) * noise_scale
+        xn = x + noise.astype(x.dtype)
+
+        kind = self.norm_type[len("alias"):]
+        if kind == "instance":
+            normalized = InstanceNorm2d(name="param_free_norm")(xn)
+        elif kind == "batch":
+            normalized = BatchNorm2d(self.norm_nc, affine=False,
+                                     name="param_free_norm")(
+                xn, use_running_average=not train)
+        elif kind == "mask":
+            normalized = MaskNorm(name="param_free_norm")(xn, misalign_mask)
+        else:
+            raise ValueError(self.norm_type)
+
+        actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
+                      name="conv_shared")(seg)
+        actv = nn.relu(actv)
+        gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                       name="conv_gamma")(actv)
+        beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                      name="conv_beta")(actv)
+        return normalized * (1.0 + gamma) + beta
+
+
+class SPADEResBlock(nn.Module):
+    """SPADEResBlock (/root/reference/network_generator.py:125-173)."""
+
+    input_nc: int
+    output_nc: int
+    norm_g: str = "spectralaliasinstance"
+    gen_semantic_nc: int = 7
+    use_mask_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, seg, misalign_mask=None, train: bool = True,
+                 update_sn: bool = False):
+        learned_shortcut = self.input_nc != self.output_nc
+        middle_nc = min(self.input_nc, self.output_nc)
+
+        subnorm = self.norm_g
+        spectral = subnorm.startswith("spectral")
+        if spectral:
+            subnorm = subnorm[len("spectral"):]
+        label_nc = self.gen_semantic_nc
+        if self.use_mask_norm:
+            subnorm = "aliasmask"
+            label_nc = label_nc + 1
+
+        seg = interpolate(seg, size=x.shape[1:3], mode="nearest")
+        if misalign_mask is not None:
+            misalign_mask = interpolate(misalign_mask, size=x.shape[1:3],
+                                        mode="nearest")
+
+        def conv(feats, ksize, pad, use_bias, name):
+            if spectral:
+                return SpectralNorm2d(feats, ksize, padding=pad, use_bias=use_bias,
+                                      kernel_init=_xavier, name=name)
+            return Conv2d(feats, ksize, padding=pad, use_bias=use_bias,
+                          kernel_init=_xavier, name=name)
+
+        def norm(nc, name):
+            return SPADENorm(nc, label_nc, norm_type=subnorm, name=name)
+
+        def apply_conv(mod, h):
+            return mod(h, update_stats=update_sn) if spectral else mod(h)
+
+        if learned_shortcut:
+            xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train)
+            xs = apply_conv(conv(self.output_nc, 1, 0, False, "conv_s"), xs)
+        else:
+            xs = x
+
+        dx = norm(self.input_nc, "norm_0")(x, seg, misalign_mask, train)
+        dx = apply_conv(conv(middle_nc, 3, 1, True, "conv_0"), leaky_relu(dx))
+        dx = norm(middle_nc, "norm_1")(dx, seg, misalign_mask, train)
+        dx = apply_conv(conv(self.output_nc, 3, 1, True, "conv_1"), leaky_relu(dx))
+        return xs + dx
+
+
+class SPADEGenerator(nn.Module):
+    cfg: SPADEGenConfig = SPADEGenConfig()
+
+    @nn.compact
+    def __call__(self, x, seg, train: bool = True, update_sn: bool = False):
+        """x: (N, fine_h, fine_w, input_nc); seg: (N, fine_h, fine_w, 7)."""
+        cfg = self.cfg
+        if cfg.num_upsampling_layers not in ("more", "most"):
+            raise ValueError(
+                "num_upsampling_layers must be 'more' or 'most' — 'normal' is "
+                "unreachable in the reference (channel mismatch at "
+                "network_generator.py:230)")
+        nf = cfg.ngf
+        sh, sw = cfg.latent_hw
+
+        samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i), mode="nearest")
+                   for i in range(8)]
+        features = [
+            Conv2d(nf * 16 if i == 0 else 16, 3, padding=1, kernel_init=_xavier,
+                   name=f"conv_{i}")(samples[i])
+            for i in range(8)
+        ]
+
+        def block(in_nc, out_nc, name):
+            return SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
+                                 gen_semantic_nc=cfg.gen_semantic_nc,
+                                 use_mask_norm=False, name=name)
+
+        def up(h):
+            return interpolate(h, scale_factor=2, mode="nearest")
+
+        h = block(nf * 16, nf * 16, "head_0")(features[0], seg,
+                                              train=train, update_sn=update_sn)
+        h = up(h)
+        h = block(nf * 16 + 16, nf * 16, "G_middle_0")(
+            jnp.concatenate([h, features[1]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+        if cfg.num_upsampling_layers in ("more", "most"):
+            h = up(h)
+        h = block(nf * 16 + 16, nf * 16, "G_middle_1")(
+            jnp.concatenate([h, features[2]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+
+        out_nf = nf
+        h = up(h)
+        h = block(nf * 16 + 16, nf * 8, "up_0")(
+            jnp.concatenate([h, features[3]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+        h = up(h)
+        h = block(nf * 8 + 16, nf * 4, "up_1")(
+            jnp.concatenate([h, features[4]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+        h = up(h)
+        h = block(nf * 4 + 16, nf * 2, "up_2")(
+            jnp.concatenate([h, features[5]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+        h = up(h)
+        h = block(nf * 2 + 16, nf, "up_3")(
+            jnp.concatenate([h, features[6]], axis=-1), seg,
+            train=train, update_sn=update_sn)
+        if cfg.num_upsampling_layers == "most":
+            h = up(h)
+            h = block(nf + 16, nf // 2, "up_4")(
+                jnp.concatenate([h, features[7]], axis=-1), seg,
+                train=train, update_sn=update_sn)
+            out_nf = nf // 2
+
+        h = Conv2d(3, 3, padding=1, kernel_init=_xavier,
+                   name="conv_img")(leaky_relu(h))
+        return jnp.tanh(h)

@@ -1,0 +1,114 @@
+"""Torch-parity image resize, MXU-friendly.
+
+Implements the exact sampling conventions of ``torch.nn.functional.interpolate``
+(reference uses it throughout, e.g. /root/reference/test_generator.py:144-150,
+/root/reference/networks.py:130-133) as static resize matrices applied with two
+einsums — each is a matmul that XLA tiles onto the MXU, instead of a gather.
+
+Supported modes:
+  * 'bilinear' with align_corners False (torch default) or True
+  * 'nearest'  (torch legacy floor convention: src = floor(dst * in/out))
+
+All functions take NHWC arrays. Shapes are static under jit, so the matrices are
+built once per (in, out, mode) with numpy and closed over as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["interpolate", "resize_flow"]
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out, in) row-stochastic matrix reproducing torch linear interpolation."""
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    if out_size == 1 or in_size == 1:
+        # torch: with align_corners=True and out==1 -> src 0; in==1 -> only idx 0.
+        mat[:, 0] = 1.0
+        if in_size == 1:
+            return mat.astype(np.float32)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros((1,), dtype=np.float64)
+        else:
+            src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.maximum(src, 0.0)  # torch clamps negative source indices to 0
+    x0 = np.floor(src).astype(np.int64)
+    x0 = np.minimum(x0, in_size - 1)
+    lam = src - x0
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, x0), 1.0 - lam)
+    np.add.at(mat, (rows, x1), lam)
+    return mat.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    """torch 'nearest' (legacy): src = floor(dst * in/out)."""
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1)
+
+
+def interpolate(x, size=None, scale_factor=None, mode: str = "bilinear",
+                align_corners: bool = False):
+    """NHWC resize with torch ``F.interpolate`` semantics.
+
+    Args:
+      x: (N, H, W, C) array.
+      size: (out_h, out_w) tuple, or None if scale_factor given.
+      scale_factor: float or (fh, fw); torch computes out = floor(in * factor).
+      mode: 'bilinear' | 'nearest'.
+      align_corners: only meaningful for 'bilinear'.
+    """
+    n, h, w, c = x.shape
+    if size is None:
+        if scale_factor is None:
+            raise ValueError("one of size / scale_factor is required")
+        if isinstance(scale_factor, (int, float)):
+            scale_factor = (scale_factor, scale_factor)
+        size = (int(h * scale_factor[0]), int(w * scale_factor[1]))
+    out_h, out_w = int(size[0]), int(size[1])
+    if (out_h, out_w) == (h, w):
+        return x
+
+    if mode == "nearest":
+        ih = _nearest_indices(h, out_h)
+        iw = _nearest_indices(w, out_w)
+        return x[:, ih][:, :, iw]
+    if mode != "bilinear":
+        raise ValueError(f"unsupported mode {mode!r}")
+
+    dtype = x.dtype
+    rh = jnp.asarray(_linear_matrix(h, out_h, align_corners), dtype=jnp.float32)
+    rw = jnp.asarray(_linear_matrix(w, out_w, align_corners), dtype=jnp.float32)
+    y = x.astype(jnp.float32)
+    # HIGHEST precision: resize matrices are near-sparse (2 taps/row); the MXU's
+    # default bf16 passes would cost torch parity for negligible FLOP savings.
+    if out_h != h:
+        y = jnp.einsum("oh,nhwc->nowc", rh, y, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    if out_w != w:
+        y = jnp.einsum("ow,nhwc->nhoc", rw, y, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    return y.astype(dtype)
+
+
+def resize_flow(flow, size, mode: str = "bilinear"):
+    """Resize a (N, H, W, 2) appearance-flow field (channel-last, torch permute-free).
+
+    Mirrors the reference's permute->interpolate->permute dance
+    (/root/reference/networks.py:133,150) without the transposes.
+    """
+    return interpolate(flow, size=size, mode=mode, align_corners=False)

@@ -1,0 +1,139 @@
+"""Model-level golden parity: our Flax models vs the actual reference PyTorch
+networks, weights ported with the checkpoint converters.
+
+The reference modules are imported from /root/reference (read-only) at test
+time — definitions only, never copied. This validates end-to-end numerics of
+ConditionGenerator and SPADEGenerator including the converters themselves.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+# the image has torch-cpu but no torchvision; the reference imports it at module
+# scope for the (unused-here) Vgg19 class — stub it out
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tv.models = types.ModuleType("torchvision.models")
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv.models
+
+from hrviton_tpu.config import SPADEGenConfig, TOCGConfig
+from hrviton_tpu.models import ConditionGenerator, SPADEGenerator
+from hrviton_tpu.train.checkpoint import convert_spade_gen, convert_tocg
+
+H, W = 64, 64  # divisible by 32; small for single-core-CPU speed
+
+
+def _nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def _nchw_t(x):
+    return torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
+
+
+@pytest.mark.parametrize("warp_feature", ["T1", "encoder"])
+def test_tocg_matches_reference_model(warp_feature):
+    import networks as ref_networks
+
+    opt = types.SimpleNamespace(warp_feature=warp_feature, out_layer="relu",
+                                cuda=False)
+    torch.manual_seed(0)
+    ref = ref_networks.ConditionGenerator(opt, input1_nc=4, input2_nc=16,
+                                          output_nc=13, ngf=8)
+    ref.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_tocg(sd)
+
+    model = ConditionGenerator(TOCGConfig(ngf=8, warp_feature=warp_feature))
+    rng = np.random.default_rng(0)
+    in1 = rng.standard_normal((2, H, W, 4), dtype=np.float32)
+    in2 = rng.standard_normal((2, H, W, 16), dtype=np.float32)
+
+    flows, seg, wc, wcm = model.apply(variables, jnp.asarray(in1),
+                                      jnp.asarray(in2), train=False)
+    with torch.no_grad():
+        rflows, rseg, rwc, rwcm = ref(opt, _nchw_t(in1), _nchw_t(in2))
+
+    for i in range(5):
+        # atol covers f32 accumulation-order drift across the 5-level pyramid
+        np.testing.assert_allclose(np.asarray(flows[i]),
+                                   rflows[i].detach().numpy(),
+                                   rtol=1e-3, atol=2e-3,
+                                   err_msg=f"flow level {i}")
+    np.testing.assert_allclose(np.asarray(seg), _nhwc(rseg),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(wc), _nhwc(rwc), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(wcm), _nhwc(rwcm), rtol=1e-3, atol=2e-3)
+
+
+def test_spade_generator_matches_reference_model():
+    import network_generator as ref_gen
+
+    # 'most' divides by 128; 128x128 gives a 1x1 latent (up_4 still exercised)
+    GH = GW = 128
+    opt = types.SimpleNamespace(
+        norm_G="spectralaliasinstance", gen_semantic_nc=7,
+        num_upsampling_layers="most", fine_height=GH, fine_width=GW,
+        ngf=8, cuda=False)
+    torch.manual_seed(0)
+    ref = ref_gen.SPADEGenerator(opt, 9)
+    ref.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_spade_gen(sd, "most")
+
+    cfg = SPADEGenConfig(ngf=8, fine_height=GH, fine_width=GW,
+                         num_upsampling_layers="most")
+    model = SPADEGenerator(cfg)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, GH, GW, 9), dtype=np.float32)
+    seg = rng.standard_normal((1, GH, GW, 7), dtype=np.float32)
+
+    # fresh model: noise_scale == 0, so the stochastic injection cancels and
+    # outputs are comparable despite different RNGs
+    out = model.apply(variables, jnp.asarray(x), jnp.asarray(seg), train=False,
+                      rngs={"noise": jax.random.PRNGKey(0)})
+    with torch.no_grad():
+        rout = ref(_nchw_t(x), _nchw_t(seg))
+
+    np.testing.assert_allclose(np.asarray(out), _nhwc(rout),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_cond_discriminator_matches_reference_model():
+    import networks as ref_networks
+
+    torch.manual_seed(0)
+    ref = ref_networks.define_D(input_nc=33, ndf=8, n_layers_D=3,
+                                norm="instance", num_D=2)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from hrviton_tpu.config import CondDiscriminatorConfig
+    from hrviton_tpu.models import CondMultiscaleDiscriminator
+    from hrviton_tpu.train.checkpoint import convert_cond_discriminator
+
+    variables = convert_cond_discriminator(sd)
+    model = CondMultiscaleDiscriminator(CondDiscriminatorConfig(input_nc=33,
+                                                                ndf=8))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, H, W, 33), dtype=np.float32)
+    ours = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        theirs = ref(_nchw_t(x))
+    assert len(ours) == len(theirs) == 2
+    for o, t in zip(ours, theirs):
+        np.testing.assert_allclose(np.asarray(o[-1]), _nhwc(t[-1]),
+                                   rtol=1e-3, atol=1e-4)

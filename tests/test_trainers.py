@@ -1,0 +1,184 @@
+"""Train-step smoke tests + multi-device mesh tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
+                                GeneratorTrainConfig, PipelineConfig,
+                                SPADEDiscriminatorConfig, SPADEGenConfig,
+                                TOCGConfig)
+from hrviton_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from hrviton_tpu.losses.perceptual import make_vgg_loss
+from hrviton_tpu.models import ConditionGenerator
+from hrviton_tpu.train import ConditionTrainer, GeneratorTrainer
+
+COND_H, COND_W = 64, 64     # /32 for the condition pyramid
+FINE_H, FINE_W = 128, 128   # /64 for SPADE 'more'
+
+
+def _cond_batch(n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda c: jnp.asarray(
+        rng.standard_normal((n, COND_H, COND_W, c), dtype=np.float32))
+    labels = rng.integers(0, 13, (n, COND_H, COND_W)).astype(np.int32)
+    parse = jnp.asarray(labels[..., None] == np.arange(13), dtype=jnp.float32)
+    return {
+        "cloth": {"paired": f(3)},
+        "cloth_mask": {"paired": jnp.asarray(
+            rng.uniform(0, 1, (n, COND_H, COND_W, 1)).astype(np.float32))},
+        "parse_agnostic": f(13),
+        "densepose": f(3),
+        "parse_onehot": jnp.asarray(labels),
+        "parse": parse,
+        "pcm": parse[..., 3:4],
+        "parse_cloth": f(3),
+    }
+
+
+def _gen_batch(n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda c: jnp.asarray(
+        rng.standard_normal((n, FINE_H, FINE_W, c), dtype=np.float32))
+    labels = rng.integers(0, 13, (n, FINE_H, FINE_W)).astype(np.int32)
+    parse = jnp.asarray(labels[..., None] == np.arange(13), dtype=jnp.float32)
+    return {
+        "cloth": f(3),
+        "cloth_mask": jnp.asarray(
+            rng.uniform(0, 1, (n, FINE_H, FINE_W, 1)).astype(np.float32)),
+        "parse_agnostic": f(13),
+        "densepose": f(3),
+        "agnostic": f(3),
+        "image": f(3),
+        "parse": parse,
+        "parse_cloth": f(3),
+    }
+
+
+@pytest.fixture(scope="module")
+def vgg_small():
+    return make_vgg_loss(image_hw=(64, 48)).variables
+
+
+def test_condition_train_step(vgg_small):
+    tcfg = ConditionTrainConfig(interflowloss=True, occlusion=True)
+    trainer = ConditionTrainer(TOCGConfig(ngf=8),
+                               CondDiscriminatorConfig(input_nc=33, ndf=8),
+                               tcfg)
+    state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    batch = _cond_batch()
+    p_before = jax.tree_util.tree_leaves(state.g.params)[0].copy()
+    state2, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1),
+                                         vgg_small)
+    assert int(state2.step) == 1
+    for k in ("loss/G", "loss/G/l1_cloth", "loss/G/vgg", "loss/G/tv",
+              "loss/G/ce", "loss/G/gan", "loss/D"):
+        assert np.isfinite(float(metrics[k])), k
+    p_after = jax.tree_util.tree_leaves(state2.g.params)[0]
+    assert float(jnp.abs(p_after - p_before).sum()) > 0
+
+    iou = trainer.eval_iou(state2, batch)
+    assert 0.0 <= float(iou) <= 1.0
+
+
+def test_condition_train_step_no_gan(vgg_small):
+    tcfg = ConditionTrainConfig(no_gan_loss=True)
+    trainer = ConditionTrainer(TOCGConfig(ngf=8),
+                               CondDiscriminatorConfig(input_nc=33, ndf=8),
+                               tcfg)
+    state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    state2, metrics = trainer.train_step(state, _cond_batch(),
+                                         jax.random.PRNGKey(1), vgg_small)
+    assert "loss/D" not in metrics
+    # D untouched
+    d0 = jax.tree_util.tree_leaves(state.d.params)[0]
+    d1 = jax.tree_util.tree_leaves(state2.d.params)[0]
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+def _make_gen_trainer(vgg_vars, gt_mode=False):
+    pcfg = PipelineConfig(fine_height=FINE_H, fine_width=FINE_W,
+                          cond_height=COND_H, cond_width=COND_W)
+    tocg_cfg = TOCGConfig(ngf=8)
+    tocg = ConditionGenerator(tocg_cfg)
+    tv = tocg.init(jax.random.PRNGKey(0), jnp.zeros((1, COND_H, COND_W, 4)),
+                   jnp.zeros((1, COND_H, COND_W, 16)), train=False)
+
+    gen_cfg = SPADEGenConfig(ngf=8, fine_height=FINE_H, fine_width=FINE_W,
+                             num_upsampling_layers="more")
+    trainer = GeneratorTrainer(gen_cfg, SPADEDiscriminatorConfig(ndf=8),
+                               GeneratorTrainConfig(gt_mode=gt_mode), pcfg,
+                               None if gt_mode else tocg_cfg)
+    frozen = {"vgg": vgg_vars, "tocg": {} if gt_mode else tv}
+    return trainer, frozen
+
+
+def test_generator_train_step(vgg_small):
+    trainer, frozen = _make_gen_trainer(vgg_small)
+    state = trainer.init(jax.random.PRNGKey(0))
+    batch = _gen_batch()
+    state2, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1),
+                                         frozen)
+    for k in ("loss/gen", "loss/gen/GAN", "loss/gen/GAN_Feat", "loss/gen/VGG",
+              "loss/dis", "loss/dis/adv_fake", "loss/dis/adv_real"):
+        assert np.isfinite(float(metrics[k])), k
+    # spectral u vectors actually updated
+    u0 = jax.tree_util.tree_leaves(state.g.extras["aux"])[0]
+    u1 = jax.tree_util.tree_leaves(state2.g.extras["aux"])[0]
+    assert float(jnp.abs(u1 - u0).sum()) > 0
+
+    out = trainer.generate(state2, batch, jax.random.PRNGKey(2),
+                           frozen["tocg"])
+    assert out.shape == (2, FINE_H, FINE_W, 3)
+
+
+def test_generator_train_step_gt_mode(vgg_small):
+    trainer, frozen = _make_gen_trainer(vgg_small, gt_mode=True)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state2, metrics = trainer.train_step(state, _gen_batch(),
+                                         jax.random.PRNGKey(1), frozen)
+    assert np.isfinite(float(metrics["loss/gen"]))
+
+
+def test_mesh_sharded_condition_step_matches_single_device(vgg_small):
+    """Data-parallel over an 8-device CPU mesh: the jitted step must compile,
+    run, and produce the same metrics as the unsharded run (GSPMD SyncBN)."""
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(jax.devices()[:8])
+    tcfg = ConditionTrainConfig()
+    trainer = ConditionTrainer(TOCGConfig(ngf=8),
+                               CondDiscriminatorConfig(input_nc=33, ndf=8),
+                               tcfg)
+    state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    batch = _cond_batch(n=8)
+
+    _, metrics_single = trainer.train_step(state, batch, jax.random.PRNGKey(1),
+                                           vgg_small)
+
+    state_r = jax.device_put(state, replicated(mesh))
+    vgg_r = jax.device_put(vgg_small, replicated(mesh))
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+    with mesh:
+        state2, metrics_sharded = trainer.train_step(state_r, batch_s,
+                                                     jax.random.PRNGKey(1),
+                                                     vgg_r)
+        jax.block_until_ready(state2)
+
+    for k in metrics_single:
+        np.testing.assert_allclose(float(metrics_sharded[k]),
+                                   float(metrics_single[k]),
+                                   rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+def test_graft_entry_dryrun_multichip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
