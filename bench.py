@@ -73,9 +73,15 @@ def main():
 
     noise_key = jax.random.PRNGKey(1)
 
-    # weights as jit arguments (not HLO constants)
+    # Methodology: the device tunnel has ~35ms fixed per-call latency and
+    # block_until_ready does not reliably synchronize, so we run ITERS
+    # pipeline invocations *inside one jit* (lax.map over stacked batches)
+    # and force a scalar checksum readback — that times real device work.
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (ITERS, *x.shape)), batch)
+
     @jax.jit
-    def step(tocg_vars, gen_vars, b):
+    def step_many(tocg_vars, gen_vars, bs):
         def tocg_apply(i1, i2):
             return tocg.apply(tocg_vars, i1, i2, train=False)
 
@@ -83,16 +89,17 @@ def main():
             return gen.apply(gen_vars, x, seg, train=False,
                              rngs={"noise": noise_key})
 
-        out, _ = tryon_forward(tocg_apply, gen_apply, b, pcfg)
-        return out
+        def one(b):
+            out, _ = tryon_forward(tocg_apply, gen_apply, b, pcfg)
+            return jnp.mean(out.astype(jnp.float32))
 
-    # warmup / compile
-    step(tv, gv, batch).block_until_ready()
+        return jnp.sum(jax.lax.map(one, bs))
+
+    float(step_many(tv, gv, stacked))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = step(tv, gv, batch)
-    out.block_until_ready()
+    checksum = float(step_many(tv, gv, stacked))
     dt = time.perf_counter() - t0
+    assert checksum == checksum, "NaN checksum"
 
     imgs_per_sec = BATCH * ITERS / dt
     print(json.dumps({

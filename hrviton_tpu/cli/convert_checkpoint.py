@@ -18,7 +18,7 @@ from hrviton_tpu.train.checkpoint import (convert_alexnet,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["tocg", "gen", "cond_d", "vgg19",
-                                    "alexnet", "lpips"])
+                                    "alexnet", "lpips", "inception"])
     p.add_argument("src", help=".pth path (for lpips: the lin-head alex.pth)")
     p.add_argument("dst", help="output .ckpt (msgpack) path")
     p.add_argument("--backbone", default="",
@@ -39,6 +39,9 @@ def main(argv=None):
         tree = convert_vgg19(sd)
     elif args.kind == "alexnet":
         tree = convert_alexnet(sd)
+    elif args.kind == "inception":
+        from hrviton_tpu.models.inception import convert_inception_v3
+        tree = convert_inception_v3(sd)
     else:
         if not args.backbone:
             raise SystemExit("lpips conversion needs --backbone alexnet.pth")

@@ -88,8 +88,29 @@ def main(argv=None):
 
     is_mean, is_std = float("nan"), float("nan")
     if opt.inception_weights:
-        print("WARNING: inception scoring from converted weights not yet "
-              "wired; reporting NaN")
+        from hrviton_tpu.models.inception import InceptionV3, convert_inception_v3
+        if opt.inception_weights.endswith((".pth", ".pt")):
+            from hrviton_tpu.train.checkpoint import load_torch_state_dict
+            inc_vars = convert_inception_v3(
+                load_torch_state_dict(opt.inception_weights))
+        else:
+            from hrviton_tpu.train.checkpoint import load_pytree
+            inc_vars = load_pytree(opt.inception_weights)
+        inception = InceptionV3()
+        inc_fwd = jax.jit(lambda v, x: jax.nn.softmax(
+            inception.apply(v, x), axis=-1))
+
+        def to_inc_input(img):
+            arr = np.asarray(img.convert("RGB").resize((299, 299),
+                                                       Image.BILINEAR),
+                             dtype=np.float32) / 255.0
+            return jnp.asarray(arr[None] * 2.0 - 1.0)
+
+        preds = np.zeros((len(pred_list), 1000))
+        for i, name in enumerate(pred_list):
+            pred_img = Image.open(os.path.join(opt.predict_dir, name))
+            preds[i] = np.asarray(inc_fwd(inc_vars, to_inc_input(pred_img))[0])
+        is_mean, is_std = inception_score(preds, splits=1)
 
     lpips_list.sort(key=lambda x: x[1], reverse=True)
     with open(os.path.join(opt.predict_dir, "lpips.txt"), "a") as f:

@@ -156,6 +156,38 @@ def main(argv=None):
                       flush=True)
             if (step + 1) % tcfg.tensorboard_count == 0:
                 board.scalars({k: float(v) for k, v in metrics.items()}, step + 1)
+                if test_loader is not None:
+                    # reference-style 12-panel grids (train_condition.py:377-435)
+                    import numpy as _np
+                    from hrviton_tpu.utils import visualize_segmap
+                    vb_raw = test_loader.next_batch()
+                    for k in ("im_name", "c_name"):
+                        vb_raw.pop(k, None)
+                    vb, _ = put(dict(vb_raw))
+                    vis = trainer.visualize(state, vb)
+                    cm = (_np.asarray(vb_raw["cloth_mask"]["paired"]) > 0.5)
+                    for i in range(min(opt.num_test_visualize,
+                                       vb_raw["image"].shape[0])):
+                        panels = [
+                            _np.asarray(vb_raw["cloth"]["paired"][i]) / 2 + .5,
+                            _np.repeat(cm[i].astype(_np.float32), 3, -1),
+                            visualize_segmap(vb_raw["parse_agnostic"], i),
+                            (_np.asarray(vb_raw["densepose"][i]) + 1) / 2,
+                            _np.asarray(vb_raw["parse_cloth"][i]) / 2 + .5,
+                            _np.repeat(_np.asarray(vb_raw["pcm"][i]), 3, -1),
+                            _np.asarray(vis["warped_cloth"][i],
+                                        dtype=_np.float32) / 2 + .5,
+                            _np.repeat(_np.asarray(vis["warped_cm_onehot"][i]),
+                                       3, -1),
+                            visualize_segmap(vb_raw["parse"], i),
+                            visualize_segmap(_np.asarray(
+                                vis["seg_softmax"], dtype=_np.float32), i),
+                            _np.asarray(vb_raw["image"][i]) / 2 + .5,
+                            _np.repeat(_np.asarray(vis["misalign"][i]), 3, -1),
+                        ]
+                        board.image_grid(f"test_images/{i}",
+                                         make_image_grid(panels, nrow=4),
+                                         step + 1)
             if val_loader is not None and (step + 1) % tcfg.val_count == 0:
                 ious = []
                 for _ in range(max(1, opt.val_samples // opt.batch_size)):

@@ -1,33 +1,41 @@
-"""LPIPS (net-lin, alex) — perceptual distance for eval and in-train validation.
+"""LPIPS perceptual distance — full package parity with the vendored LPIPS v0.1
+(/root/reference/eval_models/, C13 in SURVEY.md):
 
-Parity with the vendored LPIPS v0.1 package
-(/root/reference/eval_models/networks_basic.py:27-120):
-  scale inputs with the fixed ScalingLayer (shift/scale constants), run AlexNet
-  features, L2-normalize each tap over channels, squared difference, 1x1 linear
-  heads (no bias), spatial average, sum over the 5 taps.
+  * net-lin distance with 'alex' | 'vgg16' | 'squeeze' backbones and learned
+    1x1 linear heads (networks_basic.py:27-92); 'net' mode (lpips=False)
+    uniform-averages the normalized feature distances instead.
+  * L2 and DSSIM "fake nets" (networks_basic.py:123-187 semantics).
+  * 2AFC and JND dataset scoring (dist_model.py:212-284 semantics).
 
-Head + backbone weights are ported from ``eval_models/weights/v0.1/alex.pth`` +
-torchvision alexnet via hrviton_tpu.train.checkpoint; random init is the test
-fallback.
+Inputs are NHWC in [-1, 1]. Backbone + head weights port from the published
+.pth files via hrviton_tpu.train.checkpoint; random init is the test fallback.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from hrviton_tpu.models.backbones import AlexNetFeatures
+from hrviton_tpu.models.backbones import (AlexNetFeatures, SqueezeNetFeatures,
+                                          Vgg16Features)
 from hrviton_tpu.nn.layers import Conv2d, kaiming_normal_init
 
-__all__ = ["LPIPSAlex", "LPIPSFn", "make_lpips"]
+__all__ = ["LPIPSModel", "LPIPSAlex", "LPIPSFn", "make_lpips",
+           "l2_distance", "dssim_distance", "score_2afc", "score_jnd"]
 
 # networks_basic.py:94-102 ScalingLayer constants
 _SHIFT = jnp.asarray([-0.030, -0.088, -0.188], jnp.float32)
 _SCALE = jnp.asarray([0.458, 0.448, 0.450], jnp.float32)
-_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+_BACKBONES = {
+    "alex": (AlexNetFeatures, 5),
+    "vgg16": (Vgg16Features, 5),
+    "squeeze": (SqueezeNetFeatures, 7),
+}
 
 
 def _normalize_tensor(x, eps: float = 1e-10):
@@ -35,11 +43,54 @@ def _normalize_tensor(x, eps: float = 1e-10):
     return x / (norm + eps)
 
 
-class LPIPSAlex(nn.Module):
-    """Full net-lin alex distance model. Inputs in [-1, 1], NHWC."""
+class LPIPSModel(nn.Module):
+    """net-lin (lpips=True) or net (lpips=False) distance model."""
+
+    net: str = "alex"
+    lpips: bool = True          # learned linear heads vs uniform averaging
+    spatial: bool = False       # return per-pixel maps instead of averages
 
     @nn.compact
     def __call__(self, x, y):
+        backbone_cls, n_taps = _BACKBONES[self.net]
+
+        def scaled(v):
+            return (v.astype(jnp.float32) - _SHIFT) / _SCALE
+
+        backbone = backbone_cls(name=self.net if self.net != "vgg16" else "vgg16")
+        fx = backbone(scaled(x))
+        fy = backbone(scaled(y))
+        total = 0.0
+        for i in range(n_taps):
+            dx = _normalize_tensor(fx[i].astype(jnp.float32))
+            dy = _normalize_tensor(fy[i].astype(jnp.float32))
+            diff = (dx - dy) ** 2
+            if self.lpips:
+                d = Conv2d(1, 1, use_bias=False,
+                           kernel_init=kaiming_normal_init(),
+                           name=f"lin{i}")(diff)
+            else:
+                d = jnp.sum(diff, axis=-1, keepdims=True)
+            if self.spatial:
+                from hrviton_tpu.ops.resize import interpolate
+                total = total + interpolate(d, size=x.shape[1:3],
+                                            mode="bilinear")
+            else:
+                total = total + jnp.mean(d, axis=(1, 2))
+        if self.spatial:
+            return total[..., 0]
+        return total[..., 0]  # (N,)
+
+
+class LPIPSAlex(LPIPSModel):
+    """Back-compat alias: net-lin alex, the configuration the reference uses
+    everywhere (train_generator.py:651, evaluate.py:41)."""
+
+    net: str = "alex"
+
+    @nn.compact
+    def __call__(self, x, y):
+        # keep the original parameter naming ('alexnet' backbone scope)
         def scaled(v):
             return (v.astype(jnp.float32) - _SHIFT) / _SCALE
 
@@ -53,19 +104,19 @@ class LPIPSAlex(nn.Module):
             diff = (dx - dy) ** 2
             lin = Conv2d(1, 1, use_bias=False,
                          kernel_init=kaiming_normal_init(), name=f"lin{i}")(diff)
-            total = total + jnp.mean(lin, axis=(1, 2))  # spatial average
-        return total[..., 0]  # (N,)
+            total = total + jnp.mean(lin, axis=(1, 2))
+        return total[..., 0]
 
 
 class LPIPSFn:
     """Callable LPIPS closed over frozen variables."""
 
-    def __init__(self, variables):
-        self._model = LPIPSAlex()
-        self._vars = variables
+    def __init__(self, variables, model=None):
+        self._model = model if model is not None else LPIPSAlex()
+        self.variables = variables
 
     def __call__(self, x, y):
-        return self._model.apply(self._vars, x, y)
+        return self._model.apply(self.variables, x, y)
 
 
 def make_lpips(variables=None, rng=None, image_hw=(128, 128)) -> LPIPSFn:
@@ -74,3 +125,69 @@ def make_lpips(variables=None, rng=None, image_hw=(128, 128)) -> LPIPSFn:
         z = jnp.zeros((1, *image_hw, 3), jnp.float32)
         variables = LPIPSAlex().init(rng, z, z)
     return LPIPSFn(variables)
+
+
+# ------------------------------------------------------- fake-net distances
+
+def l2_distance(x, y):
+    """Mean squared difference on [-1,1] images scaled to [0,1]
+    (networks_basic.py L2 semantics: mean over CHW of ((a-b)/2)^2)."""
+    d = ((x.astype(jnp.float32) - y.astype(jnp.float32)) / 2.0) ** 2
+    return jnp.mean(d, axis=tuple(range(1, d.ndim)))
+
+
+def dssim_distance(x, y):
+    """(1 - SSIM) / 2 on [0,1]-scaled images (networks_basic.py DSSIM).
+
+    Plain 8x8 uniform-window SSIM per channel, averaged (the reference
+    delegates to skimage compare_ssim; this is the standard formulation)."""
+    a = (x.astype(jnp.float32) + 1.0) / 2.0
+    b = (y.astype(jnp.float32) + 1.0) / 2.0
+    k = 8
+    win = jnp.ones((k, k, 1, 1), jnp.float32) / (k * k)
+    c = a.shape[-1]
+    win = jnp.broadcast_to(win, (k, k, 1, c))
+    dn = jax.lax.conv_dimension_numbers(a.shape, win.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    def filt(v):
+        return jax.lax.conv_general_dilated(v, win, (1, 1), "VALID",
+                                            dimension_numbers=dn,
+                                            feature_group_count=c)
+
+    mu_a, mu_b = filt(a), filt(b)
+    var_a = filt(a * a) - mu_a ** 2
+    var_b = filt(b * b) - mu_b ** 2
+    cov = filt(a * b) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / \
+        ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    ssim = jnp.mean(ssim_map, axis=tuple(range(1, ssim_map.ndim)))
+    return (1.0 - ssim) / 2.0
+
+
+# --------------------------------------------------------- dataset scoring
+
+def score_2afc(d0s: np.ndarray, d1s: np.ndarray, gts: np.ndarray) -> float:
+    """Two-alternative forced choice score (dist_model.py:212-244):
+    fraction of human judgements agreeing with the metric's ordering."""
+    d0s, d1s, gts = map(np.asarray, (d0s, d1s, gts))
+    scores = (d0s < d1s) * (1.0 - gts) + (d1s < d0s) * gts + (d1s == d0s) * 0.5
+    return float(np.mean(scores))
+
+
+def score_jnd(ds: np.ndarray, sames: np.ndarray) -> float:
+    """JND score: area under the precision-recall curve of 'same' detection
+    sorted by distance (dist_model.py:247-284 semantics)."""
+    ds, sames = np.asarray(ds), np.asarray(sames)
+    order = np.argsort(ds)
+    sames_sorted = sames[order]
+    tps = np.cumsum(sames_sorted)
+    fps = np.cumsum(1 - sames_sorted)
+    fns = np.sum(sames_sorted) - tps
+    precision = tps / np.maximum(tps + fps, 1e-12)
+    recall = tps / np.maximum(tps + fns, 1e-12)
+    # trapezoid AUC over recall
+    rec = np.concatenate([[0.0], recall])
+    prec = np.concatenate([[1.0], precision])
+    return float(np.sum((rec[1:] - rec[:-1]) * prec[1:]))

@@ -3,6 +3,9 @@ from hrviton_tpu.models.discriminators import (CondMultiscaleDiscriminator,
                                                CondNLayerDiscriminator,
                                                SPADEMultiscaleDiscriminator,
                                                SPADENLayerDiscriminator)
+from hrviton_tpu.models.backbones import (AlexNetFeatures, SqueezeNetFeatures,
+                                          Vgg16Features, Vgg19Features)
+from hrviton_tpu.models.inception import InceptionV3, convert_inception_v3
 from hrviton_tpu.models.spade import (MaskNorm, SPADEGenerator, SPADENorm,
                                       SPADEResBlock)
 
@@ -11,4 +14,6 @@ __all__ = [
     "CondMultiscaleDiscriminator", "CondNLayerDiscriminator",
     "SPADEMultiscaleDiscriminator", "SPADENLayerDiscriminator",
     "MaskNorm", "SPADEGenerator", "SPADENorm", "SPADEResBlock",
+    "AlexNetFeatures", "SqueezeNetFeatures", "Vgg16Features", "Vgg19Features",
+    "InceptionV3", "convert_inception_v3",
 ]

@@ -57,6 +57,78 @@ class Vgg19Features(nn.Module):
         return taps
 
 
+class Vgg16Features(nn.Module):
+    """VGG16 with the LPIPS slicing (pretrained_networks.py:139-180):
+    taps relu1_2, relu2_2, relu3_3, relu4_3, relu5_3."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jax.Array]:
+        init = kaiming_normal_init()
+
+        def conv(feats, name):
+            return Conv2d(feats, 3, padding=1, kernel_init=init, name=name)
+
+        taps = []
+        h = nn.relu(conv(64, "conv1_1")(x))
+        h = nn.relu(conv(64, "conv1_2")(h)); taps.append(h)
+        h = _maxpool(h)
+        h = nn.relu(conv(128, "conv2_1")(h))
+        h = nn.relu(conv(128, "conv2_2")(h)); taps.append(h)
+        h = _maxpool(h)
+        h = nn.relu(conv(256, "conv3_1")(h))
+        h = nn.relu(conv(256, "conv3_2")(h))
+        h = nn.relu(conv(256, "conv3_3")(h)); taps.append(h)
+        h = _maxpool(h)
+        h = nn.relu(conv(512, "conv4_1")(h))
+        h = nn.relu(conv(512, "conv4_2")(h))
+        h = nn.relu(conv(512, "conv4_3")(h)); taps.append(h)
+        h = _maxpool(h)
+        h = nn.relu(conv(512, "conv5_1")(h))
+        h = nn.relu(conv(512, "conv5_2")(h))
+        h = nn.relu(conv(512, "conv5_3")(h)); taps.append(h)
+        return taps
+
+
+class _Fire(nn.Module):
+    squeeze: int
+    expand1: int
+    expand3: int
+
+    @nn.compact
+    def __call__(self, x):
+        init = kaiming_normal_init()
+        s = nn.relu(Conv2d(self.squeeze, 1, kernel_init=init, name="squeeze")(x))
+        e1 = nn.relu(Conv2d(self.expand1, 1, kernel_init=init,
+                            name="expand1x1")(s))
+        e3 = nn.relu(Conv2d(self.expand3, 3, padding=1, kernel_init=init,
+                            name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """SqueezeNet 1.1 with the LPIPS 7-tap slicing
+    (pretrained_networks.py:6-55)."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jax.Array]:
+        init = kaiming_normal_init()
+        taps = []
+        h = nn.relu(Conv2d(64, 3, stride=2, kernel_init=init, name="conv1")(x))
+        taps.append(h)
+        h = _maxpool3(h)
+        h = _Fire(16, 64, 64, name="fire2")(h)
+        h = _Fire(16, 64, 64, name="fire3")(h); taps.append(h)
+        h = _maxpool3(h)
+        h = _Fire(32, 128, 128, name="fire4")(h)
+        h = _Fire(32, 128, 128, name="fire5")(h); taps.append(h)
+        h = _maxpool3(h)
+        h = _Fire(48, 192, 192, name="fire6")(h); taps.append(h)
+        h = _Fire(48, 192, 192, name="fire7")(h); taps.append(h)
+        h = _Fire(64, 256, 256, name="fire8")(h); taps.append(h)
+        h = _Fire(64, 256, 256, name="fire9")(h); taps.append(h)
+        return taps
+
+
 class AlexNetFeatures(nn.Module):
     """AlexNet features; returns [relu1..relu5] per the LPIPS slicing
     (pretrained_networks.py:18-33)."""

@@ -117,8 +117,11 @@ def condition_forward(
     fn = jnp.stack([flow_full[..., 0] / cfg.flow_norm_w,
                     flow_full[..., 1] / cfg.flow_norm_h], axis=-1)
     warped_grid = make_grid(n, fh, fw) + fn
-    warped_cloth = grid_sample(cloth, warped_grid, padding_mode="border")
-    warped_clothmask = grid_sample(cm, warped_grid, padding_mode="border")
+    # one fused 4-channel gather instead of separate 3ch + 1ch warps
+    warped = grid_sample(jnp.concatenate([cloth, cm], axis=-1), warped_grid,
+                         padding_mode="border")
+    warped_cloth = warped[..., :3]
+    warped_clothmask = warped[..., 3:]
 
     if cfg.occlusion:
         warped_clothmask = remove_overlap(

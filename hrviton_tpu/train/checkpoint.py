@@ -229,11 +229,43 @@ _ALEX_CONVS = [("features.0", "conv1"), ("features.3", "conv2"),
                ("features.6", "conv3"), ("features.8", "conv4"),
                ("features.10", "conv5")]
 
+_VGG16_CONVS = [
+    ("features.0", "conv1_1"), ("features.2", "conv1_2"),
+    ("features.5", "conv2_1"), ("features.7", "conv2_2"),
+    ("features.10", "conv3_1"), ("features.12", "conv3_2"),
+    ("features.14", "conv3_3"),
+    ("features.17", "conv4_1"), ("features.19", "conv4_2"),
+    ("features.21", "conv4_3"),
+    ("features.24", "conv5_1"), ("features.26", "conv5_2"),
+    ("features.28", "conv5_3"),
+]
+
+# torchvision squeezenet1_1 feature indices -> fire modules
+_SQUEEZE_FIRES = [(3, "fire2"), (4, "fire3"), (6, "fire4"), (7, "fire5"),
+                  (9, "fire6"), (10, "fire7"), (11, "fire8"), (12, "fire9")]
+
 
 def convert_alexnet(sd: Dict[str, np.ndarray], prefix=()) -> Dict:
     b = _TreeBuilder()
     for tkey, fkey in _ALEX_CONVS:
         b.conv(sd, tkey, *prefix, fkey)
+    return b.variables()
+
+
+def convert_vgg16(sd: Dict[str, np.ndarray], prefix=()) -> Dict:
+    b = _TreeBuilder()
+    for tkey, fkey in _VGG16_CONVS:
+        b.conv(sd, tkey, *prefix, fkey)
+    return b.variables()
+
+
+def convert_squeezenet(sd: Dict[str, np.ndarray], prefix=()) -> Dict:
+    b = _TreeBuilder()
+    b.conv(sd, "features.0", *prefix, "conv1")
+    for idx, name in _SQUEEZE_FIRES:
+        b.conv(sd, f"features.{idx}.squeeze", *prefix, name, "squeeze")
+        b.conv(sd, f"features.{idx}.expand1x1", *prefix, name, "expand1x1")
+        b.conv(sd, f"features.{idx}.expand3x3", *prefix, name, "expand3x3")
     return b.variables()
 
 

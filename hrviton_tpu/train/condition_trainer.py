@@ -234,6 +234,25 @@ class ConditionTrainer:
 
         return GANState(state.step + 1, g_state, d_state), metrics
 
+    # ----------------------------------------------------------- visualization
+    @functools.partial(jax.jit, static_argnums=0)
+    def visualize(self, state: GANState, batch):
+        """Eval-mode forward for TensorBoard panels
+        (train_condition.py:400-436): returns composed segmap softmax, warped
+        cloth/mask and the misalignment map."""
+        prep = _prep(batch)
+        flow_list, seg, warped_c, warped_cm = self.tocg.apply(
+            state.g.variables(), prep["input1"], prep["input2"], train=False)
+        warped_cm_onehot = (warped_cm > 0.5).astype(jnp.float32)
+        seg = compose_clothmask(seg, warped_cm, self.tcfg.clothmask_composition)
+        if self.tcfg.occlusion:
+            warped_cm = remove_overlap(jax.nn.softmax(seg, -1), warped_cm)
+            warped_c = warped_c * warped_cm + (1.0 - warped_cm)
+        fake_cm = (jnp.argmax(seg, -1, keepdims=True) == 3).astype(jnp.float32)
+        misalign = jnp.clip(fake_cm - warped_cm_onehot, 0.0, None)
+        return dict(seg_softmax=jax.nn.softmax(seg, -1), warped_cloth=warped_c,
+                    warped_cm_onehot=warped_cm_onehot, misalign=misalign)
+
     # -------------------------------------------------------------- validation
     @functools.partial(jax.jit, static_argnums=0)
     def eval_iou(self, state: GANState, batch) -> jax.Array:

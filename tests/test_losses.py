@@ -38,7 +38,7 @@ def test_cross_entropy2d_ignore_index():
     target = jnp.asarray([[[0, 250], [250, 250]]], dtype=jnp.int32)
     # only one valid pixel, uniform logits -> loss = log(3)
     np.testing.assert_allclose(float(losses.cross_entropy2d(logits, target)),
-                               np.log(3.0), rtol=1e-6)
+                               np.log(3.0), rtol=1e-4)
 
 
 def test_lsgan_loss_matches_mse():

@@ -67,34 +67,37 @@ def test_tocg_matches_reference_model(warp_feature):
 
     for i in range(5):
         # atol covers f32 accumulation-order drift across the 5-level pyramid
+        # (conftest pins matmul precision to 'highest' for torch-grade f32)
         np.testing.assert_allclose(np.asarray(flows[i]),
                                    rflows[i].detach().numpy(),
-                                   rtol=1e-3, atol=2e-3,
+                                   rtol=1e-3, atol=5e-4,
                                    err_msg=f"flow level {i}")
     np.testing.assert_allclose(np.asarray(seg), _nhwc(rseg),
-                               rtol=1e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(wc), _nhwc(rwc), rtol=1e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(wcm), _nhwc(rwcm), rtol=1e-3, atol=2e-3)
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(wc), _nhwc(rwc), rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(wcm), _nhwc(rwcm), rtol=1e-3, atol=5e-4)
 
 
 def test_spade_generator_matches_reference_model():
     import network_generator as ref_gen
 
-    # 'most' divides by 128; 128x128 gives a 1x1 latent (up_4 still exercised)
+    # 'more' at 128x128 -> 2x2 latent; torch InstanceNorm rejects 1x1 spatial,
+    # so 'most' (latent 1x1 at this size) can't run a torch forward here — its
+    # converter coverage is in test_spade_most_converter_structure below
     GH = GW = 128
     opt = types.SimpleNamespace(
         norm_G="spectralaliasinstance", gen_semantic_nc=7,
-        num_upsampling_layers="most", fine_height=GH, fine_width=GW,
+        num_upsampling_layers="more", fine_height=GH, fine_width=GW,
         ngf=8, cuda=False)
     torch.manual_seed(0)
     ref = ref_gen.SPADEGenerator(opt, 9)
     ref.eval()
 
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    variables = convert_spade_gen(sd, "most")
+    variables = convert_spade_gen(sd, "more")
 
     cfg = SPADEGenConfig(ngf=8, fine_height=GH, fine_width=GW,
-                         num_upsampling_layers="most")
+                         num_upsampling_layers="more")
     model = SPADEGenerator(cfg)
 
     rng = np.random.default_rng(1)
@@ -137,3 +140,38 @@ def test_cond_discriminator_matches_reference_model():
     for o, t in zip(ours, theirs):
         np.testing.assert_allclose(np.asarray(o[-1]), _nhwc(t[-1]),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_spade_most_converter_structure():
+    """'most' adds up_4; verify the converter produces exactly the tree our
+    'most' model initializes (shape-level check, no torch forward needed)."""
+    import network_generator as ref_gen
+
+    opt = types.SimpleNamespace(
+        norm_G="spectralaliasinstance", gen_semantic_nc=7,
+        num_upsampling_layers="most", fine_height=256, fine_width=256,
+        ngf=8, cuda=False)
+    torch.manual_seed(0)
+    ref = ref_gen.SPADEGenerator(opt, 9)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_spade_gen(sd, "most")
+
+    cfg = SPADEGenConfig(ngf=8, fine_height=256, fine_width=256,
+                         num_upsampling_layers="most")
+    model = SPADEGenerator(cfg)
+    template = jax.eval_shape(
+        lambda k: model.init({"params": k, "noise": k},
+                             jnp.zeros((1, 256, 256, 9)),
+                             jnp.zeros((1, 256, 256, 7)), train=False),
+        jax.random.PRNGKey(0))
+
+    flat_t = {"/".join(map(str, k)): v.shape for k, v in
+              jax.tree_util.tree_flatten_with_path(template)[0]}
+    flat_c = {"/".join(map(str, k)): np.asarray(v).shape for k, v in
+              jax.tree_util.tree_flatten_with_path(variables)[0]}
+    missing = set(flat_t) - set(flat_c)
+    extra = set(flat_c) - set(flat_t)
+    assert not missing, f"converter missing params: {sorted(missing)[:8]}"
+    assert not extra, f"converter extra params: {sorted(extra)[:8]}"
+    for k in flat_t:
+        assert flat_t[k] == flat_c[k], (k, flat_t[k], flat_c[k])

@@ -69,7 +69,8 @@ def test_condition_train_step(vgg_small):
                                tcfg)
     state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
     batch = _cond_batch()
-    p_before = jax.tree_util.tree_leaves(state.g.params)[0].copy()
+    # train_step donates the state; snapshot what we compare beforehand
+    p_before = np.asarray(jax.tree_util.tree_leaves(state.g.params)[0])
     state2, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1),
                                          vgg_small)
     assert int(state2.step) == 1
@@ -89,11 +90,12 @@ def test_condition_train_step_no_gan(vgg_small):
                                CondDiscriminatorConfig(input_nc=33, ndf=8),
                                tcfg)
     state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    # train_step donates the state; snapshot what we compare beforehand
+    d0 = np.asarray(jax.tree_util.tree_leaves(state.d.params)[0])
     state2, metrics = trainer.train_step(state, _cond_batch(),
                                          jax.random.PRNGKey(1), vgg_small)
     assert "loss/D" not in metrics
     # D untouched
-    d0 = jax.tree_util.tree_leaves(state.d.params)[0]
     d1 = jax.tree_util.tree_leaves(state2.d.params)[0]
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
@@ -119,13 +121,14 @@ def test_generator_train_step(vgg_small):
     trainer, frozen = _make_gen_trainer(vgg_small)
     state = trainer.init(jax.random.PRNGKey(0))
     batch = _gen_batch()
+    # train_step donates the state; snapshot what we compare beforehand
+    u0 = np.asarray(jax.tree_util.tree_leaves(state.g.extras["aux"])[0])
     state2, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1),
                                          frozen)
     for k in ("loss/gen", "loss/gen/GAN", "loss/gen/GAN_Feat", "loss/gen/VGG",
               "loss/dis", "loss/dis/adv_fake", "loss/dis/adv_real"):
         assert np.isfinite(float(metrics[k])), k
     # spectral u vectors actually updated
-    u0 = jax.tree_util.tree_leaves(state.g.extras["aux"])[0]
     u1 = jax.tree_util.tree_leaves(state2.g.extras["aux"])[0]
     assert float(jnp.abs(u1 - u0).sum()) > 0
 
@@ -154,10 +157,12 @@ def test_mesh_sharded_condition_step_matches_single_device(vgg_small):
     state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
     batch = _cond_batch(n=8)
 
-    _, metrics_single = trainer.train_step(state, batch, jax.random.PRNGKey(1),
-                                           vgg_small)
-
+    # device_put can alias same-device buffers, so deep-copy the state the
+    # donating single-device step will consume
     state_r = jax.device_put(state, replicated(mesh))
+    state_local = jax.tree_util.tree_map(jnp.copy, state)
+    _, metrics_single = trainer.train_step(state_local, batch,
+                                           jax.random.PRNGKey(1), vgg_small)
     vgg_r = jax.device_put(vgg_small, replicated(mesh))
     batch_s = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
