@@ -66,13 +66,24 @@ def get_opt(argv=None):
     p.add_argument("--tvlambda", type=float, default=2)
     p.add_argument("--val_count", type=int, default=1000)
     p.add_argument("--val_samples", type=int, default=2000)
+    p.add_argument("--fp16", "--bf16", dest="bf16", action="store_true",
+                   help="bf16 compute / f32 params (the reference's --fp16)")
     p.add_argument("--seed", type=int, default=0)
+    # multi-host (jax.distributed): run one process per host with these set
+    p.add_argument("--coordinator", default="",
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     opt = get_opt(argv)
     print(opt)
+
+    if opt.coordinator:
+        from hrviton_tpu.core.mesh import init_distributed
+        init_distributed(opt.coordinator, opt.num_processes, opt.process_id)
 
     tcfg = ConditionTrainConfig(
         batch_size=opt.batch_size, keep_step=opt.keep_step, g_lr=opt.G_lr,
@@ -84,7 +95,7 @@ def main(argv=None):
         clothmask_composition=opt.clothmask_composition,
         val_count=opt.val_count, display_count=opt.display_count,
         save_count=opt.save_count, tensorboard_count=opt.tensorboard_count,
-        load_step=opt.load_step)
+        load_step=opt.load_step, bf16=opt.bf16)
     tocg_cfg = TOCGConfig(input2_nc=opt.semantic_nc + 3, output_nc=opt.output_nc,
                           ngf=96, warp_feature=opt.warp_feature,
                           out_layer=opt.out_layer, upsample=opt.upsample)

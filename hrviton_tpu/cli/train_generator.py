@@ -71,13 +71,24 @@ def get_opt(argv=None):
     p.add_argument("--GT", action="store_true")
     p.add_argument("--cond_height", type=int, default=256)
     p.add_argument("--cond_width", type=int, default=192)
+    p.add_argument("--fp16", "--bf16", dest="bf16", action="store_true",
+                   help="bf16 compute / f32 params (the reference's --fp16)")
     p.add_argument("--seed", type=int, default=0)
+    # multi-host (jax.distributed): run one process per host with these set
+    p.add_argument("--coordinator", default="",
+                   help="coordinator address host:port for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     opt = get_opt(argv)
     print(opt)
+
+    if opt.coordinator:
+        from hrviton_tpu.core.mesh import init_distributed
+        init_distributed(opt.coordinator, opt.num_processes, opt.process_id)
 
     tcfg = GeneratorTrainConfig(
         batch_size=opt.batch_size, keep_step=opt.keep_step,
@@ -88,7 +99,7 @@ def main(argv=None):
         clothmask_composition=opt.clothmask_composition,
         lpips_count=opt.lpips_count, display_count=opt.display_count,
         save_count=opt.save_count, tensorboard_count=opt.tensorboard_count,
-        load_step=opt.load_step)
+        load_step=opt.load_step, bf16=opt.bf16)
     pcfg = PipelineConfig(fine_height=opt.fine_height, fine_width=opt.fine_width,
                           cond_height=opt.cond_height, cond_width=opt.cond_width,
                           clothmask_composition=opt.clothmask_composition,

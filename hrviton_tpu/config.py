@@ -124,6 +124,7 @@ class ConditionTrainConfig:
     save_count: int = 10000
     tensorboard_count: int = 100
     load_step: int = 0
+    bf16: bool = False            # compute-in-bf16 / params-in-f32
 
 
 @dataclass(frozen=True)
@@ -148,6 +149,8 @@ class GeneratorTrainConfig:
     save_count: int = 10000
     tensorboard_count: int = 100
     load_step: int = 0
+    bf16: bool = False            # compute-in-bf16 / params-in-f32
+                                  # (replaces apex AMP O1; no loss scaling)
 
 
 @dataclass(frozen=True)

@@ -179,8 +179,10 @@ class SpectralNorm2d(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (k[0], k[1], in_ch, self.features), jnp.float32)
-        # torch reshapes OIHW weight to (O, I*H*W); our HWIO equivalent:
-        w_mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
+        # torch reshapes OIHW weight to (O, I*H*W); our HWIO equivalent.
+        # Power iteration stays f32 even under a bf16 compute policy.
+        w_mat = kernel.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(
+            self.features, -1)
 
         def l2norm(v):
             return v / (jnp.linalg.norm(v) + self.eps)
@@ -205,7 +207,8 @@ class SpectralNorm2d(nn.Module):
         else:
             u, v = u_var.value, v_var.value
         sigma = jnp.dot(u, jnp.matmul(w_mat, v))
-        w_sn = (kernel / sigma).astype(x.dtype if self.dtype is None else self.dtype)
+        w_sn = (kernel / sigma.astype(kernel.dtype)).astype(
+            x.dtype if self.dtype is None else self.dtype)
 
         dn = jax.lax.conv_dimension_numbers(x.shape, w_sn.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(

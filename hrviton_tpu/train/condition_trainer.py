@@ -28,6 +28,7 @@ from hrviton_tpu.models import CondMultiscaleDiscriminator, ConditionGenerator
 from hrviton_tpu.ops.grid_sample import grid_sample, make_grid
 from hrviton_tpu.ops.resize import resize_flow
 from hrviton_tpu.pipelines.tryon import compose_clothmask, remove_overlap
+from hrviton_tpu.core.precision import cast_floating
 from hrviton_tpu.train.optim import adam
 from hrviton_tpu.train.state import GANState, NetState
 
@@ -169,12 +170,20 @@ class ConditionTrainer:
         tcfg = self.tcfg
         prep = _prep(batch)
         rng_g, rng_d, rng_d2 = jax.random.split(rng, 3)
-        d_vars = state.d.variables()
+
+        # bf16 policy: master params/opt state stay f32; compute casts here.
+        # The cast is differentiable, so grads arrive f32 (apex-AMP-O1
+        # equivalent without loss scaling — bf16 range makes it unneeded).
+        cast = (lambda t: cast_floating(t, jnp.bfloat16)) if tcfg.bf16 \
+            else (lambda t: t)
+        prep = cast(prep)
+        vgg_c = cast(vgg_vars)
+        d_vars = cast(state.d.variables())
 
         # ---- G update
         def g_loss_fn(p):
-            return self._forward_and_losses(p, state.g.extras, d_vars,
-                                            vgg_vars, prep, rng_g, train=True)
+            return self._forward_and_losses(cast(p), state.g.extras, d_vars,
+                                            vgg_c, prep, rng_g, train=True)
 
         (loss_g, (new_g_vars, seg_softmax, losses)), grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.g.params)
@@ -192,7 +201,7 @@ class ConditionTrainer:
             if tcfg.g_d_separate:
                 # fresh no-grad forward with the *updated* G
                 (fl, seg2, wc2, wcm2), _ = self.tocg.apply(
-                    {"params": g_params, **g_extras}, prep["input1"],
+                    {"params": cast(g_params), **g_extras}, prep["input1"],
                     prep["input2"], train=True, mutable=list(g_extras.keys()))
                 seg2 = compose_clothmask(seg2, wcm2, tcfg.clothmask_composition)
                 fake_softmax = jax.lax.stop_gradient(jax.nn.softmax(seg2, -1))
@@ -204,7 +213,7 @@ class ConditionTrainer:
                  jax.lax.stop_gradient(prep["input2"])], axis=-1)
 
             def d_loss_fn(p):
-                dv = {"params": p, **state.d.extras}
+                dv = {"params": cast(p), **state.d.extras}
                 out_f = self._d_apply(dv, jnp.concatenate(
                     [base, fake_softmax], -1), rng_d, train=True, update_sn=True)
                 if isinstance(out_f, tuple):

@@ -28,6 +28,7 @@ from hrviton_tpu.losses.matching import feature_matching_loss
 from hrviton_tpu.losses.perceptual import vgg_perceptual_loss
 from hrviton_tpu.models import (ConditionGenerator, SPADEGenerator,
                                 SPADEMultiscaleDiscriminator)
+from hrviton_tpu.core.precision import cast_floating
 from hrviton_tpu.ops.parse import onehot, parse13_to_7
 from hrviton_tpu.pipelines.tryon import condition_forward
 from hrviton_tpu.train.optim import adam, lambda_decay_schedule
@@ -121,14 +122,18 @@ class GeneratorTrainer:
         """frozen: {'vgg': Vgg19Features variables, 'tocg': tocg variables or
         {} in GT mode} — frozen weights as jit arguments."""
         tcfg = self.tcfg
+        cast = (lambda t: cast_floating(t, jnp.bfloat16)) if tcfg.bf16 \
+            else (lambda t: t)
+        batch = cast(batch)
+        frozen = cast(frozen)
         gen_in, parse7 = self.conditioning(batch, frozen.get("tocg"))
         im = batch["image"]
         rng_g, rng_d = jax.random.split(rng)
-        d_vars = state.d.variables()
+        d_vars = cast(state.d.variables())
 
         # ---- G update
         def g_loss_fn(p):
-            out = self.gen.apply({"params": p, **state.g.extras},
+            out = self.gen.apply({"params": cast(p), **state.g.extras},
                                  gen_in, parse7, train=True, update_sn=True,
                                  rngs={"noise": rng_g},
                                  mutable=list(state.g.extras.keys()))
@@ -157,11 +162,11 @@ class GeneratorTrainer:
         # ---- D update on a fresh no-grad output of the *updated* G
         # (train_generator.py:327-334)
         output_ng = jax.lax.stop_gradient(self.gen.apply(
-            {"params": g_params, **g_extras}, gen_in, parse7, train=True,
+            {"params": cast(g_params), **g_extras}, gen_in, parse7, train=True,
             update_sn=False, rngs={"noise": rng_d}))
 
         def d_loss_fn(p):
-            dv = {"params": p, **state.d.extras}
+            dv = {"params": cast(p), **state.d.extras}
             pred_fake, pred_real, new_d_vars = self._d_forward(
                 dv, parse7, output_ng, im, update_sn=True)
             l_fake = gan_loss(pred_fake, False, "hinge", for_discriminator=True)

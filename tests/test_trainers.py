@@ -187,3 +187,31 @@ def test_graft_entry_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_condition_train_step_bf16(vgg_small):
+    """bf16 compute / f32 params policy: finite losses, f32 master params."""
+    tcfg = ConditionTrainConfig(bf16=True)
+    trainer = ConditionTrainer(TOCGConfig(ngf=8),
+                               CondDiscriminatorConfig(input_nc=33, ndf=8),
+                               tcfg)
+    state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    state2, metrics = trainer.train_step(state, _cond_batch(),
+                                         jax.random.PRNGKey(1), vgg_small)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(state2.g.params)[0]
+    assert leaf.dtype == jnp.float32  # master weights stay f32
+
+
+def test_generator_train_step_bf16(vgg_small):
+    trainer, frozen = _make_gen_trainer(vgg_small)
+    import dataclasses
+    trainer.tcfg = dataclasses.replace(trainer.tcfg, bf16=True)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state2, metrics = trainer.train_step(state, _gen_batch(),
+                                         jax.random.PRNGKey(1), frozen)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(state2.g.params)[0]
+    assert leaf.dtype == jnp.float32
