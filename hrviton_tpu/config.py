@@ -38,6 +38,8 @@ class SPADEGenConfig:
     norm_g: str = "spectralaliasinstance"
     fine_height: int = 1024
     fine_width: int = 768
+    remat: bool = True            # rematerialize SPADE blocks in backward
+                                  # (full-res training needs it to fit HBM)
 
     @property
     def num_up_layers(self) -> int:

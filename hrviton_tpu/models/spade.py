@@ -169,48 +169,62 @@ class SPADEGenerator(nn.Module):
             for i in range(8)
         ]
 
+        # remat: recompute each SPADE block in the backward pass instead of
+        # storing its activations — full-res 1024x768 training does not fit a
+        # single 16G chip otherwise (38G of HLO temps measured). Forward-only
+        # use is unaffected. Toggle via SPADEGenConfig.remat. The static flags
+        # (train/update_sn) stay out of the remat signature via closure.
+        if cfg.remat:
+            @nn.remat
+            def run_block(mdl, x_, seg_):
+                return mdl(x_, seg_, None, train, update_sn)
+        else:
+            def run_block(mdl, x_, seg_):
+                return mdl(x_, seg_, None, train, update_sn)
+
         def block(in_nc, out_nc, name):
-            return SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
-                                 gen_semantic_nc=cfg.gen_semantic_nc,
-                                 use_mask_norm=False, name=name)
+            mdl = SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
+                                gen_semantic_nc=cfg.gen_semantic_nc,
+                                use_mask_norm=False, name=name)
+            return lambda x_, seg_, _m, _t, _u: run_block(mdl, x_, seg_)
 
         def up(h):
             return interpolate(h, scale_factor=2, mode="nearest")
 
-        h = block(nf * 16, nf * 16, "head_0")(features[0], seg,
-                                              train=train, update_sn=update_sn)
+        h = block(nf * 16, nf * 16, "head_0")(features[0], seg, None, train,
+                                              update_sn)
         h = up(h)
         h = block(nf * 16 + 16, nf * 16, "G_middle_0")(
-            jnp.concatenate([h, features[1]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[1]], axis=-1), seg, None, train,
+            update_sn)
         if cfg.num_upsampling_layers in ("more", "most"):
             h = up(h)
         h = block(nf * 16 + 16, nf * 16, "G_middle_1")(
-            jnp.concatenate([h, features[2]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[2]], axis=-1), seg, None, train,
+            update_sn)
 
         out_nf = nf
         h = up(h)
         h = block(nf * 16 + 16, nf * 8, "up_0")(
-            jnp.concatenate([h, features[3]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[3]], axis=-1), seg, None, train,
+            update_sn)
         h = up(h)
         h = block(nf * 8 + 16, nf * 4, "up_1")(
-            jnp.concatenate([h, features[4]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[4]], axis=-1), seg, None, train,
+            update_sn)
         h = up(h)
         h = block(nf * 4 + 16, nf * 2, "up_2")(
-            jnp.concatenate([h, features[5]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[5]], axis=-1), seg, None, train,
+            update_sn)
         h = up(h)
         h = block(nf * 2 + 16, nf, "up_3")(
-            jnp.concatenate([h, features[6]], axis=-1), seg,
-            train=train, update_sn=update_sn)
+            jnp.concatenate([h, features[6]], axis=-1), seg, None, train,
+            update_sn)
         if cfg.num_upsampling_layers == "most":
             h = up(h)
             h = block(nf + 16, nf // 2, "up_4")(
-                jnp.concatenate([h, features[7]], axis=-1), seg,
-                train=train, update_sn=update_sn)
+                jnp.concatenate([h, features[7]], axis=-1), seg, None, train,
+                update_sn)
             out_nf = nf // 2
 
         h = Conv2d(3, 3, padding=1, kernel_init=_xavier,

@@ -103,10 +103,16 @@ class GeneratorTrainer:
         fake_concat = jnp.concatenate([parse7, fake], axis=-1)
         real_concat = jnp.concatenate([parse7, real], axis=-1)
         both = jnp.concatenate([fake_concat, real_concat], axis=0)
+
         # mutable=False, not []: an empty mutable list still switches flax to
-        # the (out, vars) tuple return
-        out = self.d.apply(d_vars, both, train=True, update_sn=update_sn,
-                           mutable=["aux"] if update_sn else False)
+        # the (out, vars) tuple return. jax.checkpoint: recompute D activations
+        # in backward — full-res GAN training does not fit 16G HBM otherwise.
+        @jax.checkpoint
+        def d_fwd(dv_, both_):
+            return self.d.apply(dv_, both_, train=True, update_sn=update_sn,
+                                mutable=["aux"] if update_sn else False)
+
+        out = d_fwd(d_vars, both)
         new_vars = None
         if update_sn:
             out, new_vars = out
@@ -145,7 +151,9 @@ class GeneratorTrainer:
                 losses["GAN_Feat"] = feature_matching_loss(
                     pred_fake, pred_real, tcfg.lambda_feat)
             if not tcfg.no_vgg_loss:
-                losses["VGG"] = vgg_perceptual_loss(
+                # checkpoint the VGG tower: its full-res activations dominate
+                # backward memory
+                losses["VGG"] = jax.checkpoint(vgg_perceptual_loss)(
                     frozen["vgg"], output, im) * tcfg.lambda_vgg
             total = sum(losses.values())
             return total, (new_g_vars, losses)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Stage-2 training-step throughput at production size (1024x768, batch 4),
+f32 vs bf16 — quantifies the replacement of the reference's '~4 days on
+2x RTX 3090' baseline (README.md:71-73). Steps are state-dependent (chained),
+so timings are hoisting-proof."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
+                                SPADEDiscriminatorConfig, SPADEGenConfig,
+                                TOCGConfig)
+from hrviton_tpu.losses.perceptual import make_vgg_loss
+from hrviton_tpu.models import ConditionGenerator
+from hrviton_tpu.train import GeneratorTrainer
+
+B = int(os.environ.get("TB_BATCH", "4"))
+FH, FW, CH, CW = 1024, 768, 256, 192
+N = int(os.environ.get("TB_STEPS", "4"))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    pcfg = PipelineConfig()
+    tocg_cfg = TOCGConfig(ngf=96)
+    tocg = ConditionGenerator(tocg_cfg)
+    k = jax.random.PRNGKey(0)
+    tv = jax.jit(lambda key: tocg.init(
+        key, jnp.zeros((1, CH, CW, 4)), jnp.zeros((1, CH, CW, 16)),
+        train=False))(k)
+    vgg = make_vgg_loss(image_hw=(256, 192))
+
+    def arr(c):
+        return jnp.asarray(rng.standard_normal((B, FH, FW, c)),
+                           dtype=jnp.float32)
+
+    labels = rng.integers(0, 13, (B, FH, FW)).astype(np.int32)
+    parse = jnp.asarray(labels[..., None] == np.arange(13), dtype=jnp.float32)
+    batch = {"cloth": arr(3),
+             "cloth_mask": jnp.asarray(rng.uniform(0, 1, (B, FH, FW, 1)),
+                                       dtype=jnp.float32),
+             "parse_agnostic": arr(13), "densepose": arr(3), "agnostic": arr(3),
+             "image": arr(3), "parse": parse, "parse_cloth": arr(3)}
+    frozen = {"vgg": vgg.variables, "tocg": tv}
+
+    for bf16 in (True, False):
+        tcfg = GeneratorTrainConfig(batch_size=B, bf16=bf16)
+        tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
+                              SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
+        state = tr.init(jax.random.PRNGKey(1))
+        rngk = jax.random.PRNGKey(2)
+        state, m = tr.train_step(state, batch, rngk, frozen)  # compile
+        float(m["loss/gen"])
+        t0 = time.perf_counter()
+        for _ in range(N):
+            rngk, sub = jax.random.split(rngk)
+            state, m = tr.train_step(state, batch, sub, frozen)
+        float(m["loss/gen"])
+        dt = (time.perf_counter() - t0) / N
+        print(f"stage2 train_step bf16={bf16}: {dt * 1e3:.0f} ms/step "
+              f"({B / dt:.2f} img/s) -> 200k steps = "
+              f"{dt * 200000 / 3600:.1f} h on ONE v5e chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()
