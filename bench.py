@@ -41,6 +41,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 
 def main():
+    # NOTE: the Pallas 3x3 conv path (ops/conv3x3.py) beats XLA 1.5x in
+    # isolation but LOSES in the SPADE block context (106ms vs 87ms for up_4)
+    # because XLA fuses the surrounding elementwise chain into its convs.
+    # Keep it off here; it remains available via enable_fast_conv(True).
     dtype = jnp.bfloat16
     pcfg = PipelineConfig()
     tocg = ConditionGenerator(TOCGConfig(ngf=96))

@@ -81,13 +81,14 @@ class SPADENorm(nn.Module):
 
         actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
                       name="conv_shared")(seg)
-        actv = nn.relu(actv)
         # note: merging gamma+beta into one 2*norm_nc conv was measured SLOWER
-        # on v5e (102ms vs 86ms for the 1024x768 block) — keep separate convs
+        # on v5e (102ms vs 86ms for the 1024x768 block) — keep separate convs.
+        # The relu on actv is fused into each consumer conv (pre_act) so the
+        # Pallas conv path doesn't force XLA to materialize an extra copy.
         gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
-                       name="conv_gamma")(actv)
+                       name="conv_gamma")(actv, pre_act="relu")
         beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
-                      name="conv_beta")(actv)
+                      name="conv_beta")(actv, pre_act="relu")
         return normalized * (1.0 + gamma) + beta
 
 
@@ -130,8 +131,10 @@ class SPADEResBlock(nn.Module):
         def norm(nc, name):
             return SPADENorm(nc, label_nc, norm_type=subnorm, name=name)
 
-        def apply_conv(mod, h):
-            return mod(h, update_stats=update_sn) if spectral else mod(h)
+        def apply_conv(mod, h, pre_act=None):
+            if spectral:
+                return mod(h, update_stats=update_sn, pre_act=pre_act)
+            return mod(h, pre_act=pre_act)
 
         if learned_shortcut:
             xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train)
@@ -140,9 +143,11 @@ class SPADEResBlock(nn.Module):
             xs = x
 
         dx = norm(self.input_nc, "norm_0")(x, seg, misalign_mask, train)
-        dx = apply_conv(conv(middle_nc, 3, 1, True, "conv_0"), leaky_relu(dx))
+        dx = apply_conv(conv(middle_nc, 3, 1, True, "conv_0"), dx,
+                        pre_act="leaky0.2")
         dx = norm(middle_nc, "norm_1")(dx, seg, misalign_mask, train)
-        dx = apply_conv(conv(self.output_nc, 3, 1, True, "conv_1"), leaky_relu(dx))
+        dx = apply_conv(conv(self.output_nc, 3, 1, True, "conv_1"), dx,
+                        pre_act="leaky0.2")
         return xs + dx
 
 
@@ -228,5 +233,5 @@ class SPADEGenerator(nn.Module):
             out_nf = nf // 2
 
         h = Conv2d(3, 3, padding=1, kernel_init=_xavier,
-                   name="conv_img")(leaky_relu(h))
+                   name="conv_img")(h, pre_act="leaky0.2")
         return jnp.tanh(h)

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from hrviton_tpu.ops.conv3x3 import conv3x3
+
 Array = jax.Array
 Dtype = Any
 
@@ -65,6 +67,46 @@ def kaiming_normal_init():
     return init
 
 
+class _ConvCore(nn.Module):
+    """Param-compatible replacement for nn.Conv ('kernel'/'bias' in HWIO)
+    that can route 3x3/s1/p1 convs through the Pallas kernel (ops/conv3x3.py)
+    with an optionally fused producer activation."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, pre_act: Optional[str] = None):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        dtype = x.dtype if self.dtype is None else self.dtype
+        x = x.astype(dtype)
+        if ((kh, kw) == (3, 3) and self.stride == (1, 1)
+                and self.padding == (1, 1)):
+            return conv3x3(x, kernel, bias, pre_act=pre_act)
+        if pre_act is not None:
+            x = leaky_relu(x, 0.2) if pre_act == "leaky0.2" else jax.nn.relu(x)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dtype), window_strides=self.stride,
+            padding=((self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])),
+            dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch Conv2d padding/stride semantics (HWIO kernel)."""
 
@@ -78,21 +120,21 @@ class Conv2d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_act: Optional[str] = None):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
-        return nn.Conv(
+        return _ConvCore(
             features=self.features,
             kernel_size=k,
-            strides=s,
-            padding=((p[0], p[0]), (p[1], p[1])),
+            stride=s,
+            padding=p,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, pre_act=pre_act)
 
 
 class BatchNorm2d(nn.Module):
@@ -171,7 +213,8 @@ class SpectralNorm2d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, update_stats: bool = False):
+    def __call__(self, x, update_stats: bool = False,
+                 pre_act: Optional[str] = None):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
@@ -209,12 +252,17 @@ class SpectralNorm2d(nn.Module):
         sigma = jnp.dot(u, jnp.matmul(w_mat, v))
         w_sn = (kernel / sigma.astype(kernel.dtype)).astype(
             x.dtype if self.dtype is None else self.dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
 
+        if k == (3, 3) and s == (1, 1) and p == (1, 1):
+            return conv3x3(x, w_sn, bias, pre_act=pre_act)
+        if pre_act is not None:
+            x = leaky_relu(x, 0.2) if pre_act == "leaky0.2" else jax.nn.relu(x)
         dn = jax.lax.conv_dimension_numbers(x.shape, w_sn.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
             x, w_sn, window_strides=s,
             padding=((p[0], p[0]), (p[1], p[1])), dimension_numbers=dn)
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

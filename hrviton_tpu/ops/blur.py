@@ -28,25 +28,49 @@ def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, ksize: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix applying the zero-padded 1-D Gaussian along an
+    axis: out[o] = sum_t k[t] * in[o + t - ksize//2]."""
+    k = gaussian_kernel1d(ksize, sigma)
+    r = ksize // 2
+    m = np.zeros((n, n), np.float32)
+    for t in range(ksize):
+        d = t - r
+        lo = max(0, -d)
+        hi = min(n, n - d)
+        idx = np.arange(lo, hi)
+        m[idx, idx + d] = k[t]
+    return m
+
+
 def gaussian_blur(x, ksize=(15, 15), sigma=(3.0, 3.0)):
-    """Depthwise Gaussian blur of an NHWC array, zero padding (tgm parity)."""
+    """Depthwise Gaussian blur of an NHWC array, zero padding (tgm parity).
+
+    Formulated as two banded matmuls over H and W instead of depthwise convs:
+    grouped 1-ch convs run on the VPU, while (H, H) x (H, W*C) rides the MXU —
+    the band is 98% zeros but the matmul is still ~10x faster at 1024x768x13.
+    f32 inputs use HIGHEST precision (golden parity); bf16 inputs use native
+    bf16 multiplies with f32 accumulation.
+    """
     n, h, w, c = x.shape
     kh, kw = ksize
     dtype = x.dtype
-    y = x.astype(jnp.float32)
+    sig_y = float(sigma[1] if len(sigma) > 1 else sigma[0])
+    sig_x = float(sigma[0])
 
-    dn = lax.conv_dimension_numbers((n, h, w, c), (kh, 1, 1, c), ("NHWC", "HWIO", "NHWC"))
-    k_h = jnp.asarray(gaussian_kernel1d(kh, float(sigma[1] if len(sigma) > 1 else sigma[0])))
-    k_w = jnp.asarray(gaussian_kernel1d(kw, float(sigma[0])))
-    # torchgeometry kernel2d = outer(g(kh, sigma_y), g(kw, sigma_x)); separable.
-    kern_h = jnp.broadcast_to(k_h[:, None, None, None], (kh, 1, 1, c))
-    kern_w = jnp.broadcast_to(k_w[None, :, None, None], (1, kw, 1, c))
-    y = lax.conv_general_dilated(y, kern_h, window_strides=(1, 1),
-                                 padding=((kh // 2, kh // 2), (0, 0)),
-                                 dimension_numbers=dn, feature_group_count=c,
-                                 precision=lax.Precision.HIGHEST)
-    y = lax.conv_general_dilated(y, kern_w, window_strides=(1, 1),
-                                 padding=((0, 0), (kw // 2, kw // 2)),
-                                 dimension_numbers=dn, feature_group_count=c,
-                                 precision=lax.Precision.HIGHEST)
+    if dtype == jnp.float32 or dtype == jnp.float64:
+        prec = lax.Precision.HIGHEST
+        mdtype = jnp.float32
+    else:
+        prec = None
+        mdtype = dtype
+    mh = jnp.asarray(_band_matrix(h, kh, sig_y), mdtype)
+    mw = jnp.asarray(_band_matrix(w, kw, sig_x), mdtype)
+
+    y = jnp.einsum("oi,niwc->nowc", mh, x, precision=prec,
+                   preferred_element_type=jnp.float32)
+    y = y.astype(mdtype)
+    y = jnp.einsum("ow,nhwc->nhoc", mw, y, precision=prec,
+                   preferred_element_type=jnp.float32)
     return y.astype(dtype)
