@@ -50,20 +50,43 @@ def main():
              "image": arr(3), "parse": parse, "parse_cloth": arr(3)}
     frozen = {"vgg": vgg.variables, "tocg": tv}
 
-    for bf16 in (True, False):
+    modes = os.environ.get("TB_MODES", "bf16,f32")
+    for bf16 in [m == "bf16" for m in modes.split(",")]:
         tcfg = GeneratorTrainConfig(batch_size=B, bf16=bf16)
         tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
                               SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
         rngk = jax.random.PRNGKey(2)
-        state, m = tr.train_step(state, batch, rngk, frozen)  # compile
-        float(m["loss/gen"])
-        t0 = time.perf_counter()
-        for _ in range(N):
-            rngk, sub = jax.random.split(rngk)
-            state, m = tr.train_step(state, batch, sub, frozen)
-        float(m["loss/gen"])
-        dt = (time.perf_counter() - t0) / N
+        if int(os.environ.get("TB_SCAN", "0")):
+            # chain N steps inside ONE jit (lax.scan) — removes the tunnel's
+            # per-dispatch latency from the measurement
+            import jax.lax as lax
+
+            @jax.jit
+            def steps(state, batch, rngk, frozen):
+                def body(carry, _):
+                    st, key = carry
+                    key, sub = jax.random.split(key)
+                    st2, m = tr.train_step(st, batch, sub, frozen)
+                    return (st2, key), m["loss/gen"]
+                (state, _), losses = lax.scan(body, (state, rngk), None,
+                                              length=N)
+                return state, losses
+            state2, losses = steps(state, batch, rngk, frozen)  # compile
+            float(losses[-1])
+            t0 = time.perf_counter()
+            state2, losses = steps(state, batch, rngk, frozen)
+            float(losses[-1])
+            dt = (time.perf_counter() - t0) / N
+        else:
+            state, m = tr.train_step(state, batch, rngk, frozen)  # compile
+            float(m["loss/gen"])
+            t0 = time.perf_counter()
+            for _ in range(N):
+                rngk, sub = jax.random.split(rngk)
+                state, m = tr.train_step(state, batch, sub, frozen)
+            float(m["loss/gen"])
+            dt = (time.perf_counter() - t0) / N
         print(f"stage2 train_step bf16={bf16}: {dt * 1e3:.0f} ms/step "
               f"({B / dt:.2f} img/s) -> 200k steps = "
               f"{dt * 200000 / 3600:.1f} h on ONE v5e chip", flush=True)
