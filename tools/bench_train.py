@@ -52,6 +52,15 @@ def main():
 
     modes = os.environ.get("TB_MODES", "bf16,f32")
     for bf16 in [m == "bf16" for m in modes.split(",")]:
+        from hrviton_tpu.core.precision import bf16_params
+        if bf16:
+            # pass frozen weights + batch as bf16 BUFFERS: the trainer casts
+            # in-jit anyway, but f32 argument buffers stay live in HBM for the
+            # whole step (~0.5G: VGG 574M->287M, tocg, inputs)
+            frozen_run = bf16_params(frozen)
+            batch_run = bf16_params(batch)
+        else:
+            frozen_run, batch_run = frozen, batch
         tcfg = GeneratorTrainConfig(batch_size=B, bf16=bf16)
         tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
                               SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
@@ -62,7 +71,9 @@ def main():
             # per-dispatch latency from the measurement
             import jax.lax as lax
 
-            @jax.jit
+            import functools as _ft
+
+            @_ft.partial(jax.jit, donate_argnums=(0,))
             def steps(state, batch, rngk, frozen):
                 def body(carry, _):
                     st, key = carry
@@ -72,19 +83,19 @@ def main():
                 (state, _), losses = lax.scan(body, (state, rngk), None,
                                               length=N)
                 return state, losses
-            state2, losses = steps(state, batch, rngk, frozen)  # compile
+            state2, losses = steps(state, batch_run, rngk, frozen_run)  # compile
             float(losses[-1])
             t0 = time.perf_counter()
-            state2, losses = steps(state, batch, rngk, frozen)
+            state3, losses = steps(state2, batch_run, rngk, frozen_run)
             float(losses[-1])
             dt = (time.perf_counter() - t0) / N
         else:
-            state, m = tr.train_step(state, batch, rngk, frozen)  # compile
+            state, m = tr.train_step(state, batch_run, rngk, frozen_run)  # compile
             float(m["loss/gen"])
             t0 = time.perf_counter()
             for _ in range(N):
                 rngk, sub = jax.random.split(rngk)
-                state, m = tr.train_step(state, batch, sub, frozen)
+                state, m = tr.train_step(state, batch_run, sub, frozen_run)
             float(m["loss/gen"])
             dt = (time.perf_counter() - t0) / N
         print(f"stage2 train_step bf16={bf16}: {dt * 1e3:.0f} ms/step "
