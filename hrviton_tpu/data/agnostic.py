@@ -27,11 +27,17 @@ _NECK_LABEL = 10
 _LEFT_ARM, _RIGHT_ARM = 14, 15
 
 
-def _label_mask(parse_array: np.ndarray, labels) -> np.ndarray:
-    m = np.zeros(parse_array.shape, dtype=np.float32)
-    for l in labels:
-        m += (parse_array == l)
-    return np.clip(m, 0.0, 1.0)
+def _label_mask_bool(parse_array: np.ndarray, labels) -> np.ndarray:
+    """Boolean union of parse labels (labels are disjoint per pixel, so this
+    equals the reference's accumulate-and-clip float math exactly)."""
+    m = parse_array == labels[0]
+    for l in labels[1:]:
+        m |= parse_array == l
+    return m
+
+
+def _mask_u8(mask_bool: np.ndarray) -> Image.Image:
+    return Image.fromarray(mask_bool.astype(np.uint8) * np.uint8(255), "L")
 
 
 def _valid(p) -> bool:
@@ -49,8 +55,8 @@ def build_cloth_agnostic(im: Image.Image, im_parse: Image.Image,
         in-place like the reference (hips re-scaled to shoulder width).
     """
     parse_array = np.array(im_parse)
-    head_mask = _label_mask(parse_array, _HEAD_LABELS)
-    lower_mask = _label_mask(parse_array, _LOWER_LABELS)
+    head_mask = _label_mask_bool(parse_array, _HEAD_LABELS)
+    lower_mask = _label_mask_bool(parse_array, _LOWER_LABELS)
 
     agnostic = im.copy()
     draw = ImageDraw.Draw(agnostic)
@@ -110,11 +116,13 @@ def build_cloth_agnostic(im: Image.Image, im_parse: Image.Image,
         occ_draw.ellipse((px - r * 4, py - r * 4, px + r * 4, py + r * 4),
                          "black", "black")
 
-        keep = (np.array(occluder) / 255.0) * _label_mask(parse_array, (parse_id,))
-        agnostic.paste(im, None, Image.fromarray(np.uint8(keep * 255), "L"))
+        # both masks are binary, so uint8/bool math == the reference's
+        # float64 (occluder/255) * mask composition, pixel-exact
+        keep = (np.asarray(occluder) != 0) & (parse_array == parse_id)
+        agnostic.paste(im, None, _mask_u8(keep))
 
-    agnostic.paste(im, None, Image.fromarray(np.uint8(head_mask * 255), "L"))
-    agnostic.paste(im, None, Image.fromarray(np.uint8(lower_mask * 255), "L"))
+    agnostic.paste(im, None, _mask_u8(head_mask))
+    agnostic.paste(im, None, _mask_u8(lower_mask))
     return agnostic
 
 
@@ -122,8 +130,8 @@ def build_parse_agnostic(im_parse: Image.Image, pose_data: np.ndarray,
                          w: int = 768, h: int = 1024) -> Image.Image:
     """Blank upper-clothes/neck/arms from a parse map (get_parse_agnostic.py:13-43)."""
     parse_array = np.array(im_parse)
-    upper_mask = _label_mask(parse_array, _UPPER_LABELS)
-    neck_mask = _label_mask(parse_array, (_NECK_LABEL,))
+    upper_mask = _label_mask_bool(parse_array, _UPPER_LABELS)
+    neck_mask = _label_mask_bool(parse_array, (_NECK_LABEL,))
 
     r = 10
     agnostic = im_parse.copy()
@@ -144,9 +152,9 @@ def build_parse_agnostic(im_parse: Image.Image, pose_data: np.ndarray,
             arm_draw.ellipse((px - radius, py - radius, px + radius, py + radius),
                              "white", "white")
             i_prev = i
-        erase = (np.array(arm_region) / 255.0) * _label_mask(parse_array, (parse_id,))
-        agnostic.paste(0, None, Image.fromarray(np.uint8(erase * 255), "L"))
+        erase = (np.asarray(arm_region) != 0) & (parse_array == parse_id)
+        agnostic.paste(0, None, _mask_u8(erase))
 
-    agnostic.paste(0, None, Image.fromarray(np.uint8(upper_mask * 255), "L"))
-    agnostic.paste(0, None, Image.fromarray(np.uint8(neck_mask * 255), "L"))
+    agnostic.paste(0, None, _mask_u8(upper_mask))
+    agnostic.paste(0, None, _mask_u8(neck_mask))
     return agnostic
