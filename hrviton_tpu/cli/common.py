@@ -14,7 +14,17 @@ from hrviton_tpu.train.checkpoint import (convert_spade_gen, convert_tocg,
                                           restore_into)
 
 __all__ = ["add_data_flags", "add_tocg_flags", "add_spade_flags",
-           "load_tocg_variables", "load_gen_variables", "data_cfg_from_args"]
+           "add_ignored_reference_flags", "load_tocg_variables",
+           "load_gen_variables", "data_cfg_from_args"]
+
+
+def add_ignored_reference_flags(p: argparse.ArgumentParser, *names: str):
+    """Register reference-CLI flags that have no TPU equivalent (GPU device
+    selection, apex fp16, or flags the reference declares but never reads) so
+    existing invocation scripts run unmodified. Values are parsed and ignored."""
+    for name in names:
+        p.add_argument(name, nargs="?", const=True, default=None,
+                       help="accepted for reference CLI compatibility; ignored")
 
 
 def add_data_flags(p: argparse.ArgumentParser, *, dataroot="./data/zalando-hd-resize",

@@ -25,6 +25,8 @@ from hrviton_tpu.losses.lpips import make_lpips
 
 def get_opt(argv=None):
     p = argparse.ArgumentParser()
+    from hrviton_tpu.cli.common import add_ignored_reference_flags
+    add_ignored_reference_flags(p, "--evaluation")
     p.add_argument("--predict_dir", default="./result/output/")
     p.add_argument("--ground_truth_dir",
                    default="./data/zalando-hd-resize/test/image")

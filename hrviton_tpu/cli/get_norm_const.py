@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hrviton_tpu.cli.common import (add_data_flags, add_tocg_flags,
+                                    add_ignored_reference_flags,
                                     data_cfg_from_args, load_tocg_variables)
 from hrviton_tpu.config import CondDiscriminatorConfig, TOCGConfig
 from hrviton_tpu.data import Loader, VitonHDDataset
@@ -30,6 +31,11 @@ def get_opt(argv=None):
     add_data_flags(p, dataroot="./data", datamode="train",
                    data_list="train_pairs.txt", batch_size=8)
     add_tocg_flags(p)
+    add_ignored_reference_flags(
+        p, "--checkpoint_dir", "--display_count", "--fp16", "--gpu_ids",
+        "--keep_step", "--load_step", "--save_count", "--tensorboard_count",
+        "--tensorboard_dir", "--test_data_list", "--test_dataroot",
+        "--test_datasetting")
     p.add_argument("--tocg_checkpoint", default="")
     p.add_argument("--D_checkpoint", default="")
     p.add_argument("--Ddownx2", action="store_true")

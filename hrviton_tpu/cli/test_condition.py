@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from hrviton_tpu.cli.common import (add_data_flags, add_tocg_flags,
+from hrviton_tpu.cli.common import (add_ignored_reference_flags,
+                                    add_data_flags, add_tocg_flags,
                                     data_cfg_from_args, load_tocg_variables)
 from hrviton_tpu.config import (CondDiscriminatorConfig, PipelineConfig,
                                 TOCGConfig)
@@ -34,6 +35,7 @@ def get_opt(argv=None):
     add_data_flags(p, dataroot="./data/zalando-hd-resize", datamode="test",
                    data_list="test_pairs.txt", batch_size=8)
     add_tocg_flags(p)
+    add_ignored_reference_flags(p, "--fp16", "--gpu_ids", "--checkpoint_dir", "--tensorboard_dir", "--tensorboard_count")
     p.add_argument("--datasetting", default="paired")
     p.add_argument("--tocg_checkpoint", default="")
     p.add_argument("--D_checkpoint", default="")

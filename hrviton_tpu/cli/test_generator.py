@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hrviton_tpu.cli.common import (add_data_flags, add_spade_flags,
+from hrviton_tpu.cli.common import (add_ignored_reference_flags,
+                                    add_data_flags, add_spade_flags,
                                     add_tocg_flags, data_cfg_from_args,
                                     load_gen_variables, load_tocg_variables)
 from hrviton_tpu.config import PipelineConfig, SPADEGenConfig, TOCGConfig
@@ -35,6 +36,7 @@ def get_opt(argv=None):
                    data_list="test_pairs.txt", fine_width=768,
                    fine_height=1024, batch_size=1)
     add_tocg_flags(p)
+    add_ignored_reference_flags(p, "--cuda", "--fp16", "--gpu_ids", "--checkpoint_dir", "--tensorboard_dir", "--tensorboard_count")
     add_spade_flags(p)
     p.add_argument("--output_dir", default="./Output")
     p.add_argument("--datasetting", default="unpaired")

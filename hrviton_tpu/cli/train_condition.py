@@ -15,7 +15,8 @@ import time
 import jax
 import numpy as np
 
-from hrviton_tpu.cli.common import (add_data_flags, add_tocg_flags,
+from hrviton_tpu.cli.common import (add_ignored_reference_flags,
+                                    add_data_flags, add_tocg_flags,
                                     data_cfg_from_args, load_tocg_variables)
 from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
                                 TOCGConfig)
@@ -33,6 +34,7 @@ def get_opt(argv=None):
     add_data_flags(p, dataroot="./data/", datamode="train",
                    data_list="train_pairs.txt")
     add_tocg_flags(p)
+    add_ignored_reference_flags(p, "--cuda", "--gpu_ids")
     p.add_argument("--tensorboard_dir", default="tensorboard")
     p.add_argument("--checkpoint_dir", default="checkpoints")
     p.add_argument("--tocg_checkpoint", default="")

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hrviton_tpu.cli.common import (add_data_flags, add_spade_flags,
+from hrviton_tpu.cli.common import (add_ignored_reference_flags,
+                                    add_data_flags, add_spade_flags,
                                     add_tocg_flags, data_cfg_from_args,
                                     load_gen_variables, load_tocg_variables)
 from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
@@ -29,7 +30,7 @@ from hrviton_tpu.losses.perceptual import make_vgg_loss
 from hrviton_tpu.models import ConditionGenerator
 from hrviton_tpu.ops.resize import interpolate
 from hrviton_tpu.train import GeneratorTrainer, save_pytree
-from hrviton_tpu.utils import Board
+from hrviton_tpu.utils import Board, make_image_grid, visualize_segmap
 
 
 def get_opt(argv=None):
@@ -39,6 +40,8 @@ def get_opt(argv=None):
                    data_list="train_pairs.txt", fine_width=768,
                    fine_height=1024, batch_size=8)
     add_tocg_flags(p)
+    add_ignored_reference_flags(p, "--cuda", "--gpu_ids", "--GMM_const", "--grid_size",
+                                "--lambda_l1", "--netD_subarch", "--radius")
     add_spade_flags(p)
     p.add_argument("--tensorboard_dir", default="tensorboard")
     p.add_argument("--checkpoint_dir", default="checkpoints")
@@ -58,6 +61,9 @@ def get_opt(argv=None):
     p.add_argument("--test_datasetting", default="paired")
     p.add_argument("--test_dataroot", default="./data/")
     p.add_argument("--test_data_list", default="test_pairs.txt")
+    p.add_argument("--num_test_visualize", type=int, default=3,
+                   help="unpaired test_images/i grid count per tensorboard "
+                        "tick (train_generator.py:110,471)")
     p.add_argument("--G_lr", type=float, default=1e-4)
     p.add_argument("--D_lr", type=float, default=4e-4)
     p.add_argument("--no_ganFeat_loss", action="store_true")
@@ -162,6 +168,10 @@ def main(argv=None):
     test_ds = VitonHDDataset(test_cfg, mode="test_gen")
     test_loader = Loader(test_ds, 1, shuffle=False, num_workers=opt.workers,
                          indices=range(min(opt.lpips_samples, len(test_ds))))
+    # unpaired visualization loader (train_generator.py:618-624: batch_size is
+    # forced to num_test_visualize, shuffled test split)
+    vis_loader = Loader(test_ds, min(opt.num_test_visualize, len(test_ds)),
+                        shuffle=True, num_workers=0, seed=opt.seed + 7)
 
     mesh = make_mesh()
     state = jax.device_put(state, replicated(mesh))
@@ -197,6 +207,49 @@ def main(argv=None):
                       flush=True)
             if (step + 1) % tcfg.tensorboard_count == 0:
                 board.scalars({k: float(v) for k, v in metrics.items()}, step + 1)
+
+                # 10-panel grids, reference layout (train_generator.py:366-476)
+                def grid_panels(tb, out, warped, fpg, i):
+                    dp = np.asarray(tb["densepose"][i], np.float32)
+                    return [
+                        np.asarray(tb["cloth"][i], np.float32) / 2 + 0.5,
+                        np.repeat(np.asarray(tb["cloth_mask"][i], np.float32),
+                                  3, -1),
+                        (dp + 1) / 2,
+                        visualize_segmap(
+                            np.asarray(tb["parse_agnostic"], np.float32), i),
+                        np.asarray(warped[i], np.float32) / 2 + 0.5,
+                        np.asarray(tb["agnostic"][i], np.float32) / 2 + 0.5,
+                        dp / 2 + 0.5,
+                        visualize_segmap(np.asarray(fpg, np.float32), i),
+                        np.asarray(out[i], np.float32) / 2 + 0.5,
+                        np.asarray(tb["image"][i], np.float32) / 2 + 0.5,
+                    ]
+
+                rng, sub = jax.random.split(rng)
+                out, warped, fpg = trainer.generate_debug(
+                    state, batch, sub, frozen.get("tocg"))
+                board.image_grid(
+                    "train_images",
+                    make_image_grid(grid_panels(batch, out, warped, fpg, 0),
+                                    nrow=4), step + 1)
+
+                vb = vis_loader.next_batch()
+                vb.pop("im_name", None)
+                vb.pop("c_name", None)
+                # unpaired cloth for the test grids (train_generator.py:391-392)
+                vb["cloth"] = vb["cloth"]["unpaired"]
+                vb["cloth_mask"] = vb["cloth_mask"]["unpaired"]
+                # no explicit batch sharding: num_test_visualize needn't
+                # divide the mesh; jit replicates/places as needed
+                rng, sub = jax.random.split(rng)
+                out, warped, fpg = trainer.generate_debug(
+                    state, vb, sub, frozen.get("tocg"))
+                for i in range(out.shape[0]):
+                    board.image_grid(
+                        f"test_images/{i}",
+                        make_image_grid(grid_panels(vb, out, warped, fpg, i),
+                                        nrow=4), step + 1)
             if (step + 1) % tcfg.lpips_count == 0:
                 dists = []
                 for _ in range(opt.lpips_samples):

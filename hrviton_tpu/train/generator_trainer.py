@@ -202,3 +202,28 @@ class GeneratorTrainer:
         gen_in, parse7 = self.conditioning(batch, tocg_vars)
         return self.gen.apply(state.g.variables(), gen_in, parse7,
                               train=False, rngs={"noise": rng})
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def generate_debug(self, state: GANState, batch, rng, tocg_vars=None):
+        """generate() + the conditioning intermediates needed for the
+        reference's tensorboard grids (train_generator.py:366-476): returns
+        (output, warped_cloth, fake_parse_gauss-13ch)."""
+        if self.tcfg.gt_mode or self.tocg is None:
+            fake_parse = jnp.argmax(batch["parse"], axis=-1)
+            warped_cloth = batch["parse_cloth"]
+            # the reference's GT-mode grid references an undefined
+            # fake_parse_gauss (NameError, SURVEY §2.3); use the GT parse
+            fpg = batch["parse"]
+        else:
+            def tocg_apply(i1, i2):
+                return self.tocg.apply(tocg_vars, i1, i2, train=False)
+            cond = condition_forward(tocg_apply, batch, self.pcfg)
+            fake_parse = cond.fake_parse
+            warped_cloth = cond.warped_cloth
+            fpg = cond.fake_parse_gauss
+        parse7 = parse13_to_7(onehot(fake_parse.astype(jnp.int32), 13))
+        gen_in = jnp.concatenate(
+            [batch["agnostic"], batch["densepose"], warped_cloth], axis=-1)
+        out = self.gen.apply(state.g.variables(), gen_in, parse7,
+                             train=False, rngs={"noise": rng})
+        return out, warped_cloth, fpg
