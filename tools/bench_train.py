@@ -26,6 +26,67 @@ FH, FW, CH, CW = 1024, 768, 256, 192
 N = int(os.environ.get("TB_STEPS", "4"))
 
 
+def main_stage1():
+    """Stage-1 (condition) training-step throughput at 256x192, batch 8."""
+    from hrviton_tpu.config import (CondDiscriminatorConfig,
+                                    ConditionTrainConfig)
+    from hrviton_tpu.train import ConditionTrainer
+    rng = np.random.default_rng(0)
+    B1 = int(os.environ.get("TB_BATCH", "8"))
+    CH2, CW2 = 256, 192
+    vgg = make_vgg_loss(image_hw=(CH2, CW2))
+
+    def arr(c, h=CH2, w=CW2):
+        return jnp.asarray(rng.standard_normal((B1, h, w, c)), jnp.float32)
+
+    labels = rng.integers(0, 13, (B1, CH2, CW2)).astype(np.int32)
+    batch = {
+        "cloth": {"paired": arr(3)},
+        "cloth_mask": {"paired": jnp.asarray(
+            rng.uniform(0, 1, (B1, CH2, CW2, 1)), jnp.float32)},
+        "parse_agnostic": arr(13), "densepose": arr(3),
+        "parse_onehot": jnp.asarray(labels, jnp.int32),
+        "parse": jnp.asarray(labels[..., None] == np.arange(13), jnp.float32),
+        "pcm": jnp.asarray(rng.uniform(0, 1, (B1, CH2, CW2, 1)), jnp.float32),
+        "parse_cloth": arr(3),
+    }
+    tocg_cfg = TOCGConfig(ngf=96)
+    d_cfg = CondDiscriminatorConfig(input_nc=4 + 16 + 13)
+    modes = os.environ.get("TB_MODES", "f32")
+    for bf16 in [m == "bf16" for m in modes.split(",")]:
+        tcfg = ConditionTrainConfig(batch_size=B1, bf16=bf16,
+                                    interflowloss=True, occlusion=True)
+        tr = ConditionTrainer(tocg_cfg, d_cfg, tcfg)
+        state = tr.init(jax.random.PRNGKey(1), cond_hw=(CH2, CW2))
+        rngk = jax.random.PRNGKey(2)
+
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=(0,))
+        def steps(state, batch, rngk, vgg_vars):
+            import jax.lax as lax
+
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st2, m = tr.train_step(st, batch, sub, vgg_vars)
+                return (st2, key), m["loss/G"] if "loss/G" in m else 0.0
+            (state, _), losses = lax.scan(body, (state, rngk), None, length=N)
+            return state, losses
+
+        # checksum readback, NOT block_until_ready (unreliable over the
+        # tunnel — see tools/profile_components.py)
+        state2, losses = steps(state, batch, rngk, vgg.variables)
+        float(losses[-1])
+        t0 = time.perf_counter()
+        state3, losses = steps(state2, batch, rngk, vgg.variables)
+        float(losses[-1])
+        dt = (time.perf_counter() - t0) / N
+        print(f"stage1 train_step bf16={bf16}: {dt * 1e3:.0f} ms/step "
+              f"({B1 / dt:.2f} img/s) -> 300k steps = "
+              f"{dt * 300000 / 3600:.1f} h on ONE v5e chip", flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     pcfg = PipelineConfig()
@@ -104,4 +165,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TB_STAGE", "2") == "1":
+        main_stage1()
+    else:
+        main()
