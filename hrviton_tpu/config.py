@@ -153,6 +153,13 @@ class GeneratorTrainConfig:
     load_step: int = 0
     bf16: bool = False            # compute-in-bf16 / params-in-f32
                                   # (replaces apex AMP O1; no loss scaling)
+    split_d_batch: bool = False   # run D on fake/real separately instead of
+                                  # the reference's cat(fake, real): identical
+                                  # math for the instance-norm D (per-sample
+                                  # stats; spectral sigma derives from the same
+                                  # stored u either way) but halves the D's
+                                  # peak activation memory — lets larger
+                                  # per-chip batches fit 16G HBM
 
 
 @dataclass(frozen=True)

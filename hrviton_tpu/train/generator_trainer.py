@@ -102,18 +102,29 @@ class GeneratorTrainer:
         makes per-sample stats, so fake/real see identical parameters."""
         fake_concat = jnp.concatenate([parse7, fake], axis=-1)
         real_concat = jnp.concatenate([parse7, real], axis=-1)
-        both = jnp.concatenate([fake_concat, real_concat], axis=0)
 
         # mutable=False, not []: an empty mutable list still switches flax to
         # the (out, vars) tuple return. jax.checkpoint: recompute D activations
         # in backward — full-res GAN training does not fit 16G HBM otherwise.
         @jax.checkpoint
-        def d_fwd(dv_, both_):
-            return self.d.apply(dv_, both_, train=True, update_sn=update_sn,
+        def d_fwd(dv_, x_):
+            return self.d.apply(dv_, x_, train=True, update_sn=update_sn,
                                 mutable=["aux"] if update_sn else False)
 
-        out = d_fwd(d_vars, both)
         new_vars = None
+        if self.tcfg.split_d_batch:
+            # two half-batch calls == the concat call for this D (per-sample
+            # instance norms; both power iterations start from the same stored
+            # u so the spectral sigmas are identical); halves peak memory
+            out_f = d_fwd(d_vars, fake_concat)
+            out_r = d_fwd(d_vars, real_concat)
+            if update_sn:
+                out_f, new_vars = out_f
+                out_r, _ = out_r
+            return out_f, out_r, new_vars
+
+        both = jnp.concatenate([fake_concat, real_concat], axis=0)
+        out = d_fwd(d_vars, both)
         if update_sn:
             out, new_vars = out
         n = fake.shape[0]

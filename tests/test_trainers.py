@@ -215,3 +215,31 @@ def test_generator_train_step_bf16(vgg_small):
         assert np.isfinite(float(v)), k
     leaf = jax.tree_util.tree_leaves(state2.g.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_generator_train_step_split_d_matches_concat(vgg_small):
+    """split_d_batch=True must reproduce the reference concat-D step exactly
+    (instance-norm D: per-sample stats; spectral sigma from the same stored u)."""
+    import dataclasses
+
+    def run(split):
+        trainer, frozen = _make_gen_trainer(vgg_small)
+        trainer = GeneratorTrainer(
+            trainer.gen_cfg if hasattr(trainer, "gen_cfg") else
+            SPADEGenConfig(ngf=8, fine_height=FINE_H, fine_width=FINE_W,
+                           num_upsampling_layers="more"),
+            SPADEDiscriminatorConfig(ndf=8),
+            dataclasses.replace(GeneratorTrainConfig(), split_d_batch=split),
+            PipelineConfig(fine_height=FINE_H, fine_width=FINE_W,
+                           cond_height=COND_H, cond_width=COND_W),
+            TOCGConfig(ngf=8))
+        state = trainer.init(jax.random.PRNGKey(0))
+        _, metrics = trainer.train_step(state, _gen_batch(),
+                                        jax.random.PRNGKey(1), frozen)
+        return {k: float(v) for k, v in metrics.items()}
+
+    base = run(False)
+    split = run(True)
+    for k in base:
+        assert abs(base[k] - split[k]) <= 1e-4 * (1 + abs(base[k])), (
+            k, base[k], split[k])
