@@ -110,3 +110,31 @@ def test_remove_overlap_matches_reference_formula():
     body = np.asarray(seg)[..., [1, 2, 5, 6, 7, 8, 9, 10, 11, 12]].sum(-1)[..., None]
     want = np.asarray(wcm) - body * np.asarray(wcm)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_tryon_matches_single_device(pipeline_setup):
+    """Batch-sharded inference over the 8-device virtual mesh must equal the
+    unsharded pipeline bit-for-bit (the serving-scale data-parallel path)."""
+    from hrviton_tpu.core.mesh import batch_sharding, make_mesh, replicated
+
+    pcfg, tocg_apply, gen_apply, _ = pipeline_setup
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    batch = _batch(n=8, seed=3)
+
+    def run(b):
+        out, _ = tryon_forward(tocg_apply, gen_apply, b, pcfg)
+        return out
+
+    single = jax.jit(run)(batch)
+
+    mesh = make_mesh(devices[:8])
+    shard = batch_sharding(mesh)
+    sharded_batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard), batch)
+    with mesh:
+        sharded = jax.jit(run)(sharded_batch)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5, rtol=1e-5)
