@@ -22,7 +22,8 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
-           "replicated", "shard_batch", "init_distributed"]
+           "replicated", "shard_batch", "init_distributed",
+           "local_batch_size"]
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -61,7 +62,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_batch_size(global_batch: int) -> int:
+    """Samples each process must feed shard_batch (== global on single host)."""
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{n} processes")
+    return global_batch // n
+
+
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Build batch-sharded global device arrays from process-local host data.
+
+    Single process: a plain device_put with the batch axis sharded over
+    'data'. Multi-host: each process passes only its OWN local_batch_size()
+    samples; jax.make_array_from_process_local_data assembles the global
+    array so every process's samples land on its local devices and no full
+    global batch ever materializes on one host (the DCN-correct replacement
+    for the reference's single-host DataParallel scatter,
+    train_generator.py:171-178).
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -46,11 +46,23 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
-                 indices: Optional[Sequence[int]] = None):
+                 indices: Optional[Sequence[int]] = None,
+                 process_id: int = 0, num_processes: int = 1):
+        """batch_size is the GLOBAL batch. Under multi-host (num_processes>1)
+        every process shuffles the identical seeded permutation and yields
+        only its contiguous slice of each global chunk — the per-process
+        batches concatenate (in process order) to exactly the single-host
+        batch, matching shard_batch's process-local assembly."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        if batch_size % num_processes:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{num_processes} processes")
+        self._num_processes = num_processes
+        self._proc_lo = (batch_size // num_processes) * process_id
+        self._proc_hi = self._proc_lo + batch_size // num_processes
         self._indices = list(indices) if indices is not None \
             else list(range(len(dataset)))
         self._rng = np.random.default_rng(seed)
@@ -66,9 +78,12 @@ class Loader:
             self._rng.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             chunk = idx[i:i + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
-                return
-            yield chunk
+            if len(chunk) < self.batch_size:
+                if self.drop_last or self._num_processes > 1:
+                    return  # ragged tails can't shard evenly across processes
+                yield chunk
+                continue
+            yield chunk[self._proc_lo:self._proc_hi]
 
     def _produce(self):
         while not self._stop.is_set():
