@@ -15,7 +15,31 @@ from hrviton_tpu.train.checkpoint import (convert_spade_gen, convert_tocg,
 
 __all__ = ["add_data_flags", "add_tocg_flags", "add_spade_flags",
            "add_ignored_reference_flags", "load_tocg_variables",
-           "load_gen_variables", "data_cfg_from_args"]
+           "load_gen_variables", "data_cfg_from_args",
+           "check_pretrained_backbone"]
+
+
+def check_pretrained_backbone(weights_path: str, *, what: str, flag: str,
+                              allowed: bool, allow_flag: str,
+                              refuse: bool = True) -> None:
+    """Fail loudly when a loss/metric backbone would be RANDOMLY initialized.
+
+    The pretrained VGG19 is part of the reference's loss definition
+    (/root/reference/networks.py:234-251); running without it silently trains
+    against a different objective while looking healthy. Likewise a random
+    LPIPS backbone makes the in-train metric meaningless."""
+    if weights_path:
+        return
+    msg = (f"{what} weights were not provided ({flag} is empty) — the "
+           f"backbone will be RANDOMLY initialized. For the reference "
+           f"objective/metric, convert pretrained weights with "
+           f"hrviton_tpu.cli.convert_checkpoint and pass {flag}. "
+           f"To proceed anyway, pass {allow_flag}.")
+    if allowed or not refuse:
+        import sys
+        print(f"WARNING: {msg}", file=sys.stderr, flush=True)
+    else:
+        raise SystemExit(f"ERROR: {msg}")
 
 
 def add_ignored_reference_flags(p: argparse.ArgumentParser, *names: str):

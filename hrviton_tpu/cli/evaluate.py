@@ -52,6 +52,10 @@ def main(argv=None):
     pred_list = sorted(os.listdir(opt.predict_dir))
     pred_list = [p for p in pred_list if p.endswith((".png", ".jpg"))]
 
+    from hrviton_tpu.cli.common import check_pretrained_backbone
+    check_pretrained_backbone(opt.lpips_weights, what="LPIPS (eval metric)",
+                              flag="--lpips_weights", allowed=False,
+                              allow_flag="--lpips_weights", refuse=False)
     lpips_vars = None
     if opt.lpips_weights:
         from hrviton_tpu.train.checkpoint import load_pytree

@@ -17,10 +17,12 @@ import numpy as np
 
 from hrviton_tpu.cli.common import (add_ignored_reference_flags,
                                     add_data_flags, add_tocg_flags,
+                                    check_pretrained_backbone,
                                     data_cfg_from_args, load_tocg_variables)
 from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
                                 TOCGConfig)
-from hrviton_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
+                                   shard_batch)
 from hrviton_tpu.data import Loader, VitonHDDataset
 from hrviton_tpu.losses.perceptual import make_vgg_loss
 from hrviton_tpu.train import ConditionTrainer, save_pytree
@@ -39,7 +41,12 @@ def get_opt(argv=None):
     p.add_argument("--checkpoint_dir", default="checkpoints")
     p.add_argument("--tocg_checkpoint", default="")
     p.add_argument("--vgg_weights", default="",
-                   help="converted VGG19 weights (msgpack); random if empty")
+                   help="converted VGG19 weights (msgpack); required unless "
+                        "--allow_random_vgg")
+    p.add_argument("--allow_random_vgg", action="store_true",
+                   help="run with a randomly initialized VGG19 perceptual "
+                        "backbone (changes the training objective; smoke "
+                        "tests only)")
     p.add_argument("--tensorboard_count", type=int, default=100)
     p.add_argument("--display_count", type=int, default=100)
     p.add_argument("--save_count", type=int, default=10000)
@@ -83,6 +90,12 @@ def main(argv=None):
     opt = get_opt(argv)
     print(opt)
 
+    # fail fast, before dataset construction
+    check_pretrained_backbone(opt.vgg_weights, what="VGG19 (perceptual loss)",
+                              flag="--vgg_weights",
+                              allowed=opt.allow_random_vgg,
+                              allow_flag="--allow_random_vgg")
+
     if opt.coordinator:
         from hrviton_tpu.core.mesh import init_distributed
         init_distributed(opt.coordinator, opt.num_processes, opt.process_id)
@@ -108,7 +121,9 @@ def main(argv=None):
     # data
     train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
-                          num_workers=opt.workers, seed=opt.seed)
+                          num_workers=opt.workers, seed=opt.seed,
+                          process_id=jax.process_index(),
+                          num_processes=jax.process_count())
     val_loader = test_loader = None
     if not opt.no_test_visualize:
         import dataclasses
@@ -152,7 +167,8 @@ def main(argv=None):
 
     def put(batch):
         names = {k: batch.pop(k) for k in ("im_name", "c_name") if k in batch}
-        dev = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+        # multi-host-correct: each process contributes only its local shard
+        dev = shard_batch(mesh, batch)
         return dev, names
 
     t0 = time.time()

@@ -18,12 +18,14 @@ import numpy as np
 
 from hrviton_tpu.cli.common import (add_ignored_reference_flags,
                                     add_data_flags, add_spade_flags,
-                                    add_tocg_flags, data_cfg_from_args,
+                                    add_tocg_flags, check_pretrained_backbone,
+                                    data_cfg_from_args,
                                     load_gen_variables, load_tocg_variables)
 from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
                                 SPADEDiscriminatorConfig, SPADEGenConfig,
                                 TOCGConfig)
-from hrviton_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
+                                   shard_batch)
 from hrviton_tpu.data import Loader, VitonHDDataset
 from hrviton_tpu.losses.lpips import make_lpips
 from hrviton_tpu.losses.perceptual import make_vgg_loss
@@ -50,6 +52,13 @@ def get_opt(argv=None):
     p.add_argument("--dis_checkpoint", default="")
     p.add_argument("--vgg_weights", default="")
     p.add_argument("--lpips_weights", default="")
+    p.add_argument("--taps_wgrad", action="store_true",
+                   help="im2col-free 3x3 conv weight gradients (lower peak "
+                        "HBM; enables larger per-chip batches)")
+    p.add_argument("--allow_random_vgg", action="store_true",
+                   help="run with a randomly initialized VGG19 perceptual "
+                        "backbone (changes the training objective; smoke "
+                        "tests only)")
     p.add_argument("--tensorboard_count", type=int, default=100)
     p.add_argument("--display_count", type=int, default=100)
     p.add_argument("--save_count", type=int, default=10000)
@@ -92,6 +101,14 @@ def main(argv=None):
     opt = get_opt(argv)
     print(opt)
 
+    # fail fast, before dataset construction
+    if not opt.no_vgg_loss:
+        check_pretrained_backbone(opt.vgg_weights,
+                                  what="VGG19 (perceptual loss)",
+                                  flag="--vgg_weights",
+                                  allowed=opt.allow_random_vgg,
+                                  allow_flag="--allow_random_vgg")
+
     if opt.coordinator:
         from hrviton_tpu.core.mesh import init_distributed
         init_distributed(opt.coordinator, opt.num_processes, opt.process_id)
@@ -105,7 +122,7 @@ def main(argv=None):
         clothmask_composition=opt.clothmask_composition,
         lpips_count=opt.lpips_count, display_count=opt.display_count,
         save_count=opt.save_count, tensorboard_count=opt.tensorboard_count,
-        load_step=opt.load_step, bf16=opt.bf16)
+        load_step=opt.load_step, bf16=opt.bf16, taps_wgrad=opt.taps_wgrad)
     pcfg = PipelineConfig(fine_height=opt.fine_height, fine_width=opt.fine_width,
                           cond_height=opt.cond_height, cond_width=opt.cond_width,
                           clothmask_composition=opt.clothmask_composition,
@@ -140,6 +157,10 @@ def main(argv=None):
         from hrviton_tpu.train.checkpoint import load_pytree
         vgg_vars = load_pytree(opt.vgg_weights)
     vgg = make_vgg_loss(vgg_vars, image_hw=(opt.fine_height, opt.fine_width))
+    # random LPIPS only corrupts the in-train metric, not the objective: warn
+    check_pretrained_backbone(opt.lpips_weights, what="LPIPS (in-train metric)",
+                              flag="--lpips_weights", allowed=False,
+                              allow_flag="--lpips_weights", refuse=False)
     lpips_vars = None
     if opt.lpips_weights:
         from hrviton_tpu.train.checkpoint import load_pytree
@@ -160,7 +181,9 @@ def main(argv=None):
     # data
     train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
-                          num_workers=opt.workers, seed=opt.seed)
+                          num_workers=opt.workers, seed=opt.seed,
+                          process_id=jax.process_index(),
+                          num_processes=jax.process_count())
     import dataclasses
     test_cfg = dataclasses.replace(
         data_cfg_from_args(opt, mode="test", data_list=opt.test_data_list),
@@ -191,7 +214,8 @@ def main(argv=None):
         # flatten paired cloth keys (train_generator.py:195-196)
         batch["cloth"] = batch["cloth"]["paired"]
         batch["cloth_mask"] = batch["cloth_mask"]["paired"]
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
+        # multi-host-correct: each process contributes only its local shard
+        return shard_batch(mesh, batch)
 
     t0 = time.time()
     with mesh:

@@ -153,6 +153,10 @@ class GeneratorTrainConfig:
     load_step: int = 0
     bf16: bool = False            # compute-in-bf16 / params-in-f32
                                   # (replaces apex AMP O1; no loss scaling)
+    taps_wgrad: bool = False      # im2col-free 3x3 conv weight gradients
+                                  # (scan-chunked tap matmuls) — cuts the
+                                  # ~1.1 GB/conv wgrad temps at full res so
+                                  # larger per-chip batches fit HBM
     split_d_batch: bool = False   # run D on fake/real separately instead of
                                   # the reference's cat(fake, real): identical
                                   # math for the instance-norm D (per-sample

@@ -30,7 +30,11 @@ from hrviton_tpu.ops.parse import LABELS_20_TO_13
 
 __all__ = ["VitonHDDataset"]
 
-_LABEL20_LUT = np.zeros(256, np.int32)
+# Sentinel-initialized LUT: labels outside the reference's 20-label space must
+# fail loudly, not silently map to background (cp_dataset.py:150-172 only ever
+# sees labels 0..19).
+_LUT_SENTINEL = -1
+_LABEL20_LUT = np.full(256, _LUT_SENTINEL, np.int32)
 for _dst, _srcs in LABELS_20_TO_13.items():
     for _s in _srcs:
         _LABEL20_LUT[_s] = _dst
@@ -109,12 +113,23 @@ class VitonHDDataset:
         eye-row gather reproduces the reference's accumulate-per-source loop
         exactly (each pixel holds one source label) at ~20x the speed."""
         index_map = _LABEL20_LUT[labels20]
+        if index_map.min() == _LUT_SENTINEL:
+            bad = np.unique(labels20[index_map == _LUT_SENTINEL])
+            raise ValueError(
+                f"parse map contains labels {bad.tolist()} outside the "
+                "reference's 20-label space (cp_dataset.py:150-172)")
         onehot13 = np.zeros((self.h, self.w, 13), np.float32)
         np.put_along_axis(onehot13, index_map[..., None], 1.0, axis=-1)
-        if self.cfg.semantic_nc != 13:
+        if self.cfg.semantic_nc < 13:
+            # truncation would keep group indices >= semantic_nc in index_map
+            # while dropping their one-hot channels — refuse rather than emit
+            # an inconsistent pair
+            raise ValueError(
+                f"semantic_nc={self.cfg.semantic_nc} < 13: the 20->13 remap "
+                "cannot be truncated consistently")
+        if self.cfg.semantic_nc > 13:
             out = np.zeros((self.h, self.w, self.cfg.semantic_nc), np.float32)
-            n = min(13, self.cfg.semantic_nc)
-            out[..., :n] = onehot13[..., :n]
+            out[..., :13] = onehot13
             return out, index_map
         return onehot13, index_map
 

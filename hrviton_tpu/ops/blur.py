@@ -50,8 +50,12 @@ def gaussian_blur(x, ksize=(15, 15), sigma=(3.0, 3.0)):
     Formulated as two banded matmuls over H and W instead of depthwise convs:
     grouped 1-ch convs run on the VPU, while (H, H) x (H, W*C) rides the MXU —
     the band is 98% zeros but the matmul is still ~10x faster at 1024x768x13.
-    f32 inputs use HIGHEST precision (golden parity); bf16 inputs use native
-    bf16 multiplies with f32 accumulation.
+    All float inputs (incl. bf16) are blurred in f32: the blur feeds the
+    argmax that produces fake_parse, where bf16-rounded band weights can flip
+    parse labels at region boundaries relative to the reference. f32 inputs
+    use HIGHEST (6-pass, golden torch parity); bf16 inputs use HIGH (3-pass)
+    — bf16 operands make each 3-term product exact, so only the f32
+    accumulation order differs, at half the MXU passes.
     """
     n, h, w, c = x.shape
     kh, kw = ksize
@@ -59,18 +63,13 @@ def gaussian_blur(x, ksize=(15, 15), sigma=(3.0, 3.0)):
     sig_y = float(sigma[1] if len(sigma) > 1 else sigma[0])
     sig_x = float(sigma[0])
 
-    if dtype == jnp.float32 or dtype == jnp.float64:
-        prec = lax.Precision.HIGHEST
-        mdtype = jnp.float32
-    else:
-        prec = None
-        mdtype = dtype
-    mh = jnp.asarray(_band_matrix(h, kh, sig_y), mdtype)
-    mw = jnp.asarray(_band_matrix(w, kw, sig_x), mdtype)
+    prec = (lax.Precision.HIGHEST if dtype in (jnp.float32, jnp.float64)
+            else lax.Precision.HIGH)
+    mh = jnp.asarray(_band_matrix(h, kh, sig_y), jnp.float32)
+    mw = jnp.asarray(_band_matrix(w, kw, sig_x), jnp.float32)
 
-    y = jnp.einsum("oi,niwc->nowc", mh, x, precision=prec,
+    y = jnp.einsum("oi,niwc->nowc", mh, x.astype(jnp.float32), precision=prec,
                    preferred_element_type=jnp.float32)
-    y = y.astype(mdtype)
     y = jnp.einsum("ow,nhwc->nhoc", mw, y, precision=prec,
                    preferred_element_type=jnp.float32)
     return y.astype(dtype)

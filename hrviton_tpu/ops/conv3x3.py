@@ -38,10 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["conv3x3", "conv3x3_eligible", "enable_fast_conv",
-           "fast_conv_enabled", "fast_conv"]
+           "fast_conv_enabled", "fast_conv", "enable_taps_wgrad",
+           "taps_wgrad_enabled", "taps_wgrad"]
 
 _TH = 8          # rows per grid step; VMEM (~16M) caps TH*W*C buffers
 _ENABLED = False
+_TAPS_WGRAD = False
 _INTERPRET = bool(int(os.environ.get("HRVITON_PALLAS_INTERPRET", "0")))
 
 
@@ -65,29 +67,59 @@ def fast_conv(on: bool = True):
         _ENABLED = prev
 
 
+def enable_taps_wgrad(on: bool = True) -> None:
+    """Route 3x3/s1/p1 conv weight-gradients through the scan-chunked tap
+    formulation instead of XLA's autodiff conv-wgrad. Numerically equivalent
+    (f32 accumulation either way) but avoids the padded im2col buffer XLA
+    materializes for full-res wgrads (~1.1 GB per conv at 1024x768 b2), the
+    temp that keeps stage-2 training from fitting batch 2 on a 16 GB chip."""
+    global _TAPS_WGRAD
+    _TAPS_WGRAD = bool(on)
+
+
+def taps_wgrad_enabled() -> bool:
+    return _TAPS_WGRAD
+
+
+@contextlib.contextmanager
+def taps_wgrad(on: bool = True):
+    global _TAPS_WGRAD
+    prev = _TAPS_WGRAD
+    _TAPS_WGRAD = bool(on)
+    try:
+        yield
+    finally:
+        _TAPS_WGRAD = prev
+
+
 def conv3x3_eligible(x_shape, w_shape, stride, padding, dtype) -> bool:
     """Static dispatch test: shapes/layout this kernel handles AND wins on."""
-    if _INTERPRET:
-        return _ENABLED
     if not _ENABLED:
-        return False
-    if jax.default_backend() == "cpu":
         return False
     n, h, w, cin = x_shape
     if w_shape[:2] != (3, 3) or tuple(stride) != (1, 1):
         return False
     if tuple(padding) != (1, 1):
         return False
+    # Correctness gates — hold in interpret mode too: h % _TH != 0 would
+    # silently drop the remainder rows (grid truncates), and h == _TH would
+    # fire both boundary pl.when branches on the same grid step.
+    if not (h % _TH == 0 and w % 8 == 0 and h > _TH):
+        return False
+    if _INTERPRET:
+        return True
+    # Hardware-specific gates below.
+    if jax.default_backend() == "cpu":
+        return False
     if dtype != jnp.bfloat16:
         return False     # f32 tiles double VMEM and lose the TH=8 budget
-    # row tiling: H multiple of TH; W a sublane multiple; big enough to win
-    # over XLA (measured crossover ~256x192; below that XLA's fusion wins).
-    # cin must be lane-tile aligned: the manual HBM->VMEM row-band DMA rejects
-    # slices whose minor dim isn't a multiple of 128 ("Slice shape along
-    # dimension 3 must be aligned to tiling"). This still covers the
-    # FLOPs-dominant convs (SPADE gamma/beta run 128->norm_nc).
-    return (h % _TH == 0 and w % 8 == 0 and h >= 128 and w >= 96
-            and h >= _TH + 2 and cin % 128 == 0)
+    # Big enough to win over XLA (measured crossover ~256x192; below that
+    # XLA's fusion wins). cin must be lane-tile aligned: the manual
+    # HBM->VMEM row-band DMA rejects slices whose minor dim isn't a multiple
+    # of 128 ("Slice shape along dimension 3 must be aligned to tiling").
+    # This still covers the FLOPs-dominant convs (SPADE gamma/beta run
+    # 128->norm_nc).
+    return h >= 128 and w >= 96 and cin % 128 == 0
 
 
 def _act(x, pre_act):
@@ -234,6 +266,83 @@ def _cvjp_bwd(pre_act, has_bias, res, g):
 _conv3x3_cvjp.defvjp(_cvjp_fwd, _cvjp_bwd)
 
 
+# ------------------------------------------------- im2col-free weight gradient
+
+def _row_chunk(h: int) -> int:
+    for r in (128, 64, 32, 16, 8, 4, 2):
+        if h % r == 0 and h > r:
+            return r
+    return h
+
+
+def _wgrad_taps(x, g, pre_act):
+    """dW for a 3x3/s1/p1 conv as 9 tap-contractions, scanned over row chunks.
+
+    dW[ky,kx,ci,co] = sum_{n,h,w} act(x)[n, h+ky-1, w+kx-1, ci] * g[n,h,w,co]
+    with zero boundary. Each chunk materializes only (N, R+2, W+2, Cin) —
+    no (N*H*W, 9*Cin) im2col buffer ever exists.
+    """
+    n, h, wd, cin = x.shape
+    cout = g.shape[-1]
+    r = _row_chunk(h)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def body(acc, j):
+        rows = lax.dynamic_slice(xp, (0, j * r, 0, 0), (n, r + 2, wd + 2, cin))
+        rows = _act(rows, pre_act)  # relu/leaky keep the zero padding zero
+        gc = lax.dynamic_slice(g, (0, j * r, 0, 0), (n, r, wd, cout))
+        taps = []
+        for ky in range(3):
+            for kx in range(3):
+                xs = lax.slice(rows, (0, ky, kx, 0),
+                               (n, ky + r, kx + wd, cin))
+                taps.append(lax.dot_general(
+                    xs, gc,
+                    dimension_numbers=(((0, 1, 2), (0, 1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32))
+        return acc + jnp.stack(taps), None
+
+    acc0 = jnp.zeros((9, cin, cout), jnp.float32)
+    acc, _ = lax.scan(body, acc0, jnp.arange(h // r))
+    return acc.reshape(3, 3, cin, cout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_taps(x, w, bias, pre_act, has_bias):
+    return _conv3x3_ref(x, w, bias, pre_act)
+
+
+def _taps_fwd(x, w, bias, pre_act, has_bias):
+    return _conv3x3_ref(x, w, bias, pre_act), (x, w)
+
+
+def _taps_bwd(pre_act, has_bias, res, g):
+    x, w = res
+    # dx: conv of g with the spatially-flipped, IO-transposed kernel (a plain
+    # direct conv — only the wgrad needs the im2col-free formulation)
+    w_rot = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dn = lax.conv_dimension_numbers(g.shape, w_rot.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    da = lax.conv_general_dilated(g, w_rot.astype(g.dtype), (1, 1),
+                                  ((1, 1), (1, 1)), dimension_numbers=dn)
+    if pre_act is None:
+        dx = da
+    elif pre_act == "relu":
+        dx = da * (x > 0).astype(da.dtype)
+    elif pre_act == "leaky0.2":
+        dx = da * jnp.where(x > 0, 1.0, 0.2).astype(da.dtype)
+    else:
+        raise ValueError(pre_act)
+    dw = _wgrad_taps(x, g, pre_act).astype(w.dtype)
+    db = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+          if has_bias else None)
+    return dx.astype(x.dtype), dw, db
+
+
+_conv3x3_taps.defvjp(_taps_fwd, _taps_bwd)
+
+
 def conv3x3(x, w, bias=None, pre_act=None):
     """Fused pre_act -> 3x3/s1/p1 conv -> bias, Pallas when eligible.
 
@@ -242,4 +351,6 @@ def conv3x3(x, w, bias=None, pre_act=None):
     """
     if conv3x3_eligible(x.shape, w.shape, (1, 1), (1, 1), x.dtype):
         return _conv3x3_cvjp(x, w, bias, pre_act, bias is not None)
+    if _TAPS_WGRAD:
+        return _conv3x3_taps(x, w, bias, pre_act, bias is not None)
     return _conv3x3_ref(x, w, bias, pre_act)

@@ -57,6 +57,7 @@ class ConditionTrainer:
         self.d = CondMultiscaleDiscriminator(d_cfg)
         self.tcfg = tcfg
         self.d_cfg = d_cfg
+        self.tocg_cfg = tocg_cfg
         self.g_tx = adam(tcfg.g_lr, tcfg.beta1, tcfg.beta2)
         self.d_tx = adam(tcfg.d_lr, tcfg.beta1, tcfg.beta2)
 
@@ -124,7 +125,9 @@ class ConditionTrainer:
             seg_softmax = jax.nn.softmax(seg, axis=-1)
             for i, flow in enumerate(flow_list[:-1]):
                 fh, fw = flow.shape[1:3]
-                fl = resize_flow(flow, (ih, iw), mode="bilinear")
+                # intermediate flows upsample with opt.upsample, not a fixed
+                # mode (train_condition.py:243)
+                fl = resize_flow(flow, (ih, iw), mode=self.tocg_cfg.upsample)
                 fn = jnp.stack([fl[..., 0] / ((fw - 1.0) / 2.0),
                                 fl[..., 1] / ((fh - 1.0) / 2.0)], axis=-1)
                 wc = grid_sample(cloth, fn + grid, padding_mode="border")

@@ -139,6 +139,14 @@ class GeneratorTrainer:
         """frozen: {'vgg': Vgg19Features variables, 'tocg': tocg variables or
         {} in GT mode} — frozen weights as jit arguments."""
         tcfg = self.tcfg
+        # trace-time switch: conv3x3 dispatches wgrad formulation while this
+        # body traces; the compiled step keeps whatever was chosen here
+        from hrviton_tpu.ops.conv3x3 import taps_wgrad
+        with taps_wgrad(tcfg.taps_wgrad):
+            return self._train_step_body(state, batch, rng, frozen)
+
+    def _train_step_body(self, state, batch, rng, frozen):
+        tcfg = self.tcfg
         cast = (lambda t: cast_floating(t, jnp.bfloat16)) if tcfg.bf16 \
             else (lambda t: t)
         batch = cast(batch)
