@@ -124,7 +124,8 @@ def main():
             frozen_run, batch_run = frozen, batch
         tcfg = GeneratorTrainConfig(
             batch_size=B, bf16=bf16,
-            split_d_batch=bool(int(os.environ.get("TB_SPLIT_D", "0"))))
+            split_d_batch=bool(int(os.environ.get("TB_SPLIT_D", "0"))),
+            taps_wgrad=bool(int(os.environ.get("TB_TAPS", "0"))))
         tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
                               SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
