@@ -24,9 +24,44 @@ import jax.numpy as jnp
 from hrviton_tpu.config import SPADEGenConfig
 from hrviton_tpu.nn.layers import (Conv2d, InstanceNorm2d, SpectralNorm2d,
                                    BatchNorm2d, leaky_relu, xavier_normal_init)
+from hrviton_tpu.ops.conv3x3 import conv3x3
 from hrviton_tpu.ops.resize import interpolate
+from hrviton_tpu.ops.spade_fused import (fused_spade_eligible,
+                                         fused_spade_modulate)
 
 _xavier = xavier_normal_init(0.02)
+
+
+class _KernelBias(nn.Module):
+    """Declares Conv2d-compatible 'kernel'/'bias' params without the conv."""
+
+    features: int
+    ksize: int
+    kernel_init: nn.initializers.Initializer
+
+    @nn.compact
+    def __call__(self, cin):
+        k = self.param("kernel", self.kernel_init,
+                       (self.ksize, self.ksize, cin, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _RawConv(nn.Module):
+    """Param-tree-compatible stand-in for Conv2d (same '<name>/conv/kernel'
+    and '<name>/conv/bias' paths) that returns the raw weights for use by the
+    fused SPADE kernel instead of applying the convolution."""
+
+    features: int
+    ksize: int
+    kernel_init: nn.initializers.Initializer
+
+    @nn.compact
+    def __call__(self, cin):
+        return _KernelBias(self.features, self.ksize, self.kernel_init,
+                           name="conv")(cin)
 
 
 class MaskNorm(nn.Module):
@@ -63,11 +98,26 @@ class SPADENorm(nn.Module):
         b, h, w, _ = x.shape
         noise_scale = self.param("noise_scale", nn.initializers.zeros,
                                  (self.norm_nc,), jnp.float32)
-        noise = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
-                                  dtype=jnp.float32) * noise_scale
-        xn = x + noise.astype(x.dtype)
-
+        noise1 = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
+                                   dtype=jnp.float32)
         kind = self.norm_type[len("alias"):]
+        if (kind == "instance"
+                and fused_spade_eligible(x.shape, self.nhidden, x.dtype)):
+            # Fused Pallas path (ops/spade_fused.py): identical math and an
+            # identical parameter tree — _RawConv mirrors Conv2d's param
+            # paths so checkpoints/converters are oblivious to the dispatch.
+            ws, bs = _RawConv(self.nhidden, 3, _xavier,
+                              name="conv_shared")(seg.shape[-1])
+            wg, bg = _RawConv(self.norm_nc, 3, _xavier,
+                              name="conv_gamma")(self.nhidden)
+            wb, bb = _RawConv(self.norm_nc, 3, _xavier,
+                              name="conv_beta")(self.nhidden)
+            actv = conv3x3(seg.astype(x.dtype), ws, bs)   # pre-relu
+            return fused_spade_modulate(x, noise1, noise_scale, actv,
+                                        wg, bg, wb, bb)
+
+        noise = noise1 * noise_scale
+        xn = x + noise.astype(x.dtype)
         if kind == "instance":
             normalized = InstanceNorm2d(name="param_free_norm")(xn)
         elif kind == "batch":
