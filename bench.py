@@ -45,6 +45,9 @@ def main():
     # isolation but LOSES in the SPADE block context (106ms vs 87ms for up_4)
     # because XLA fuses the surrounding elementwise chain into its convs.
     # Keep it off here; it remains available via enable_fast_conv(True).
+    if int(os.environ.get("BENCH_FAST_SPADE", "0")):
+        from hrviton_tpu.ops.spade_fused import enable_fast_spade
+        enable_fast_spade(True)
     dtype = jnp.bfloat16
     pcfg = PipelineConfig()
     tocg = ConditionGenerator(TOCGConfig(ngf=96))
@@ -75,7 +78,12 @@ def main():
         "agnostic": arr(3),
     }
 
-    noise_key = jax.random.PRNGKey(1)
+    # rbg uses the TPU hardware RNG instead of ~30-op threefry chains per
+    # draw; the SPADE stack draws ~50M normals per batch across its 21 norms
+    if int(os.environ.get("BENCH_RBG", "0")):
+        noise_key = jax.random.key(1, impl="rbg")
+    else:
+        noise_key = jax.random.PRNGKey(1)
 
     # Methodology: the device tunnel has ~35ms fixed per-call latency and
     # block_until_ready does not reliably synchronize, so we run ITERS

@@ -61,6 +61,35 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum(idx, in_size - 1)
 
 
+def _nearest_axis(x, out_size: int, axis: int):
+    """Nearest resize of one spatial axis, torch legacy floor convention.
+
+    Integer ratios — every call site in this model family (power-of-two
+    pyramid scales) — reduce exactly to layout ops: ``src = floor(dst*in/out)``
+    is a stride-k slice when in == k*out and a k-fold repeat when out == k*in.
+    XLA fuses slices/broadcasts for free, whereas the general ``take`` path
+    lowers to TPU gathers that materialize huge iota/select chains (measured:
+    the SPADE stack's up/seg resizes dominated its non-conv HLO bytes).
+    """
+    in_size = x.shape[axis]
+    if out_size == in_size:
+        return x
+    if in_size % out_size == 0:
+        k = in_size // out_size
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(None, None, k)
+        return x[tuple(sl)]
+    if out_size % in_size == 0:
+        k = out_size // in_size
+        shape = list(x.shape)
+        bshape = shape[:axis + 1] + [k] + shape[axis + 1:]
+        y = jnp.broadcast_to(jnp.expand_dims(x, axis + 1), bshape)
+        shape[axis] = out_size
+        return y.reshape(shape)
+    return jnp.take(x, jnp.asarray(_nearest_indices(in_size, out_size)),
+                    axis=axis)
+
+
 def interpolate(x, size=None, scale_factor=None, mode: str = "bilinear",
                 align_corners: bool = False):
     """NHWC resize with torch ``F.interpolate`` semantics.
@@ -84,9 +113,7 @@ def interpolate(x, size=None, scale_factor=None, mode: str = "bilinear",
         return x
 
     if mode == "nearest":
-        ih = _nearest_indices(h, out_h)
-        iw = _nearest_indices(w, out_w)
-        return x[:, ih][:, :, iw]
+        return _nearest_axis(_nearest_axis(x, out_h, 1), out_w, 2)
     if mode != "bilinear":
         raise ValueError(f"unsupported mode {mode!r}")
 

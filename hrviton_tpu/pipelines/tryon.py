@@ -108,7 +108,11 @@ def condition_forward(
     seg_full = interpolate(fake_segmap, size=(fh, fw), mode="bilinear")
     fake_parse_gauss = gaussian_blur(seg_full, (15, 15), (3.0, 3.0))
     fake_parse = jnp.argmax(fake_parse_gauss, axis=-1)
-    parse7 = parse13_to_7(onehot(fake_parse.astype(jnp.int32), 13))
+    # one-hot/group values (small integers) are exact in bf16, so feeding the
+    # SPADE seg path at the pipeline compute dtype is parity-free (keeps the
+    # conv_shared/gamma/beta convs in bf16 under a bf16 pipeline)
+    parse7 = parse13_to_7(
+        onehot(fake_parse.astype(jnp.int32), 13).astype(cloth.dtype))
 
     # full-res warp with condition-grid normalization constants 96/128
     # (test_generator.py:205-213)

@@ -126,30 +126,57 @@ def main():
              "parse_agnostic": arr(FH, FW, 13), "densepose": arr(FH, FW, 3),
              "agnostic": arr(FH, FW, 3)}
 
-    def full(b):
-        def ta(i1, i2):
-            return tocg.apply(tv, i1, i2, train=False)
-
-        def ga(x, s):
-            return gen.apply(gv, x, s, train=False, rngs={"noise": noise_key})
-
-        return tryon_forward(ta, ga, b, pcfg)[0]
-
     salts = jnp.arange(K, dtype=jnp.float32) * 1e-6
 
+    # weights must be jit ARGUMENTS (tunnel rejects >~100MB HLO constants)
     @jax.jit
-    def full_many(b):
+    def full_many(tv_, gv_, b):
+        def ta(i1, i2):
+            return tocg.apply(tv_, i1, i2, train=False)
+
+        def ga(x, s):
+            return gen.apply(gv_, x, s, train=False,
+                             rngs={"noise": noise_key})
+
         def one(s):
             bb = jax.tree_util.tree_map(lambda x: x + s.astype(x.dtype), b)
-            return jnp.mean(full(bb).astype(jnp.float32))
+            return jnp.mean(tryon_forward(ta, ga, bb, pcfg)[0].astype(
+                jnp.float32))
         return jnp.sum(jax.lax.map(one, salts))
 
-    float(full_many(batch))
-    t0 = time.perf_counter()
-    float(full_many(batch))
-    per = (time.perf_counter() - t0) / K
+    float(full_many(tv, gv, batch))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(full_many(tv, gv, batch))
+        best = min(best, time.perf_counter() - t0)
+    per = best / K
     print(f"{'FULL pipeline @1024x768':46s} {per * 1e3:9.2f} ms/batch  "
           f"{per * 1e3 / B:8.2f} ms/img", flush=True)
+
+    # condition stage alone (everything except the SPADE generator): the
+    # difference FULL - (this) - (SPADE generator) is cross-stage glue.
+    @jax.jit
+    def cond_many(tv_, b):
+        def ta(i1, i2):
+            return tocg.apply(tv_, i1, i2, train=False)
+
+        def one(s):
+            bb = jax.tree_util.tree_map(lambda x: x + s.astype(x.dtype), b)
+            c = condition_forward(ta, bb, pcfg)
+            return (jnp.mean(c.warped_cloth.astype(jnp.float32))
+                    + jnp.mean(c.parse7.astype(jnp.float32)))
+        return jnp.sum(jax.lax.map(one, salts))
+
+    float(cond_many(tv, batch))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(cond_many(tv, batch))
+        best = min(best, time.perf_counter() - t0)
+    per = best / K
+    print(f"{'condition stage (tocg+blur+warp+glue)':46s} {per * 1e3:9.2f} "
+          f"ms/batch  {per * 1e3 / B:8.2f} ms/img", flush=True)
 
 
 if __name__ == "__main__":
