@@ -64,6 +64,11 @@ def add_data_flags(p: argparse.ArgumentParser, *, dataroot="./data/zalando-hd-re
     p.add_argument("-j", "--workers", type=int, default=4)
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--semantic_nc", type=int, default=13)
+    # TPU-native wire format (data/device.py): the hot training loader ships
+    # uint8 and the normalize/one-hot/composite math runs jitted on device
+    # (~2.6x host loader throughput, 10x fewer host->device bytes). This flag
+    # restores the full f32 host-side format.
+    p.add_argument("--no_device_preprocess", action="store_true")
 
 
 def add_tocg_flags(p: argparse.ArgumentParser):

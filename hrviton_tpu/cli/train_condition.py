@@ -23,7 +23,7 @@ from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
                                 TOCGConfig)
 from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
                                    shard_batch)
-from hrviton_tpu.data import Loader, VitonHDDataset
+from hrviton_tpu.data import Loader, VitonHDDataset, expand_compact
 from hrviton_tpu.losses.perceptual import make_vgg_loss
 from hrviton_tpu.train import ConditionTrainer, save_pytree
 from hrviton_tpu.train.state import NetState
@@ -119,7 +119,9 @@ def main(argv=None):
         ddownx2=opt.Ddownx2, ddropout=opt.Ddropout, spectral=opt.spectral)
 
     # data
-    train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
+    compact = not opt.no_device_preprocess
+    train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train",
+                              compact=compact)
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
                           num_workers=opt.workers, seed=opt.seed,
                           process_id=jax.process_index(),
@@ -171,10 +173,16 @@ def main(argv=None):
         dev = shard_batch(mesh, batch)
         return dev, names
 
+    import functools
+    expand = jax.jit(functools.partial(expand_compact,
+                                       semantic_nc=opt.semantic_nc))
+
     t0 = time.time()
     with mesh:
         for step in range(opt.load_step, opt.keep_step):
             batch, _ = put(train_loader.next_batch())
+            if compact:
+                batch = expand(batch)
             rng, sub = jax.random.split(rng)
             state, metrics = trainer.train_step(state, batch, sub, frozen_vgg)
 

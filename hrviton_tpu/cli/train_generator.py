@@ -26,7 +26,7 @@ from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
                                 TOCGConfig)
 from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
                                    shard_batch)
-from hrviton_tpu.data import Loader, VitonHDDataset
+from hrviton_tpu.data import Loader, VitonHDDataset, expand_compact
 from hrviton_tpu.losses.lpips import make_lpips
 from hrviton_tpu.losses.perceptual import make_vgg_loss
 from hrviton_tpu.models import ConditionGenerator
@@ -179,7 +179,9 @@ def main(argv=None):
                                          state.g.opt_state))
 
     # data
-    train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
+    compact = not opt.no_device_preprocess
+    train_ds = VitonHDDataset(data_cfg_from_args(opt), mode="train",
+                              compact=compact)
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
                           num_workers=opt.workers, seed=opt.seed,
                           process_id=jax.process_index(),
@@ -217,10 +219,16 @@ def main(argv=None):
         # multi-host-correct: each process contributes only its local shard
         return shard_batch(mesh, batch)
 
+    import functools
+    expand = jax.jit(functools.partial(expand_compact,
+                                       semantic_nc=opt.semantic_nc))
+
     t0 = time.time()
     with mesh:
         for step in range(opt.load_step, opt.keep_step + opt.decay_step):
             batch = put(train_loader.next_batch())
+            if compact:
+                batch = expand(batch)
             rng, sub = jax.random.split(rng)
             state, metrics = trainer.train_step(state, batch, sub, frozen)
 

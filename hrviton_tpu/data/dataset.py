@@ -46,7 +46,11 @@ def _to_unit(img: Image.Image) -> np.ndarray:
     In-place arithmetic on a fresh f32 copy — measurably faster than either
     chained expressions or a uint8 LUT gather on bandwidth-poor hosts (this
     runs 5x per sample and was a top loader-profile entry)."""
-    arr = np.asarray(img, dtype=np.float32)
+    return _to_unit_from_u8(np.asarray(img))
+
+
+def _to_unit_from_u8(arr_u8: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr_u8, dtype=np.float32)
     arr *= np.float32(2.0 / 255.0)
     arr -= np.float32(1.0)
     if arr.ndim == 2:
@@ -71,11 +75,20 @@ class VitonHDDataset:
                            + agnostic) — the generator-stage test flavor
     """
 
-    def __init__(self, cfg: DataConfig, mode: str = "train"):
+    def __init__(self, cfg: DataConfig, mode: str = "train",
+                 compact: bool = False):
+        """compact=True emits the TPU-native wire format: uint8 images and
+        uint8 group-label maps instead of f32 [-1,1] arrays and one-hot
+        channels. The normalize / one-hot / pcm / parse_cloth math moves into
+        the jitted step via data.device.expand_compact (bit-identical
+        formulas), cutting host time per sample and host->device bytes 4x.
+        Keys change: 'parse'/'parse_agnostic'/'parse_onehot'/'pcm'/
+        'parse_cloth' are replaced by 'parse_idx'/'parse_agnostic_idx'."""
         if mode not in ("train", "test", "test_gen"):
             raise ValueError(mode)
         self.cfg = cfg
         self.mode = mode
+        self.compact = compact
         self.h, self.w = cfg.fine_height, cfg.fine_width
         self.data_path = osp.join(cfg.dataroot, cfg.datamode)
 
@@ -99,12 +112,25 @@ class VitonHDDataset:
     def _cloth(self, c_name: str):
         c = Image.open(osp.join(self.data_path, "cloth", c_name)).convert("RGB")
         cm = Image.open(osp.join(self.data_path, "cloth-mask", c_name))
-        c = _to_unit(_resize(c, self.w, self.h))
         cm = np.asarray(_resize(cm, self.w, self.h, nearest=True))
         if cm.ndim == 3:
             cm = cm[..., 0]
+        if self.compact:
+            c = np.asarray(_resize(c, self.w, self.h))
+            return c, (cm >= 128).astype(np.uint8)[..., None]
+        c = _to_unit(_resize(c, self.w, self.h))
         cm = (cm >= 128).astype(np.float32)[..., None]
         return c, cm
+
+    def _parse_index(self, labels20: np.ndarray) -> np.ndarray:
+        """20-label map -> 13-group index map with loud validation."""
+        index_map = _LABEL20_LUT[labels20]
+        if index_map.min() == _LUT_SENTINEL:
+            bad = np.unique(labels20[index_map == _LUT_SENTINEL])
+            raise ValueError(
+                f"parse map contains labels {bad.tolist()} outside the "
+                "reference's 20-label space (cp_dataset.py:150-172)")
+        return index_map
 
     def _parse_maps(self, labels20: np.ndarray):
         """20-label map -> (13ch one-hot, int group-index map) (cp_dataset.py:150-177).
@@ -112,12 +138,7 @@ class VitonHDDataset:
         The 20 source labels partition into the 13 groups, so a LUT gather +
         eye-row gather reproduces the reference's accumulate-per-source loop
         exactly (each pixel holds one source label) at ~20x the speed."""
-        index_map = _LABEL20_LUT[labels20]
-        if index_map.min() == _LUT_SENTINEL:
-            bad = np.unique(labels20[index_map == _LUT_SENTINEL])
-            raise ValueError(
-                f"parse map contains labels {bad.tolist()} outside the "
-                "reference's 20-label space (cp_dataset.py:150-172)")
+        index_map = self._parse_index(labels20)
         onehot13 = np.zeros((self.h, self.w, 13), np.float32)
         np.put_along_axis(onehot13, index_map[..., None], 1.0, axis=-1)
         if self.cfg.semantic_nc < 13:
@@ -153,51 +174,67 @@ class VitonHDDataset:
             cloth[key], cloth_mask[key] = self._cloth(c_name[key])
 
         im_pil_big = Image.open(osp.join(self.data_path, "image", im_name))
-        im = _to_unit(_resize(im_pil_big, self.w, self.h))
+        im_u8 = np.asarray(_resize(im_pil_big, self.w, self.h))
 
         parse_name = im_name.replace(".jpg", ".png")
         parse_pil_big = Image.open(
             osp.join(self.data_path, "image-parse-v3", parse_name))
         parse_small = np.asarray(
             _resize(parse_pil_big, self.w, self.h, nearest=True))
-        parse13, parse_onehot = self._parse_maps(parse_small)
 
         agn_pil = Image.open(osp.join(
             self.data_path, "image-parse-agnostic-v3.2", parse_name))
         agn_small = np.asarray(_resize(agn_pil, self.w, self.h, nearest=True))
-        parse_agnostic13, _ = self._parse_maps(agn_small)
-
-        pcm = parse13[..., 3:4]
-        parse_cloth = im * pcm + (1.0 - pcm)
 
         pose_png = im_name.replace(".jpg", "_rendered.png")
-        pose_map = _to_unit(_resize(
+        pose_u8 = np.asarray(_resize(
             Image.open(osp.join(self.data_path, "openpose_img", pose_png))
             .convert("RGB"), self.w, self.h))
 
-        densepose = _to_unit(_resize(
+        densepose_u8 = np.asarray(_resize(
             Image.open(osp.join(self.data_path, "image-densepose", im_name))
             .convert("RGB"), self.w, self.h))
 
-        sample = {
-            "c_name": c_name,
-            "im_name": im_name,
-            "cloth": cloth,
-            "cloth_mask": cloth_mask,
-            "parse_agnostic": parse_agnostic13,
-            "densepose": densepose,
-            "pose": pose_map,
-            "parse_onehot": parse_onehot,
-            "parse": parse13,
-            "pcm": pcm,
-            "parse_cloth": parse_cloth,
-            "image": im,
-        }
+        if self.compact:
+            sample = {
+                "c_name": c_name,
+                "im_name": im_name,
+                "cloth": cloth,
+                "cloth_mask": cloth_mask,
+                "parse_idx": self._parse_index(parse_small).astype(np.uint8),
+                "parse_agnostic_idx":
+                    self._parse_index(agn_small).astype(np.uint8),
+                "densepose": densepose_u8,
+                "pose": pose_u8,
+                "image": im_u8,
+            }
+        else:
+            parse13, parse_onehot = self._parse_maps(parse_small)
+            parse_agnostic13, _ = self._parse_maps(agn_small)
+            im = _to_unit_from_u8(im_u8)
+            pcm = parse13[..., 3:4]
+            parse_cloth = im * pcm + (1.0 - pcm)
+            sample = {
+                "c_name": c_name,
+                "im_name": im_name,
+                "cloth": cloth,
+                "cloth_mask": cloth_mask,
+                "parse_agnostic": parse_agnostic13,
+                "densepose": _to_unit_from_u8(densepose_u8),
+                "pose": _to_unit_from_u8(pose_u8),
+                "parse_onehot": parse_onehot,
+                "parse": parse13,
+                "pcm": pcm,
+                "parse_cloth": parse_cloth,
+                "image": im,
+            }
 
         if self.mode in ("train", "test_gen"):
             pose_data = self._pose_points(im_name)
             agnostic = build_cloth_agnostic(
                 im_pil_big.convert("RGB"), parse_pil_big, pose_data)
-            sample["agnostic"] = _to_unit(_resize(agnostic, self.w, self.h))
+            agn_arr = np.asarray(_resize(agnostic, self.w, self.h))
+            sample["agnostic"] = (agn_arr if self.compact
+                                  else _to_unit_from_u8(agn_arr))
 
         return sample

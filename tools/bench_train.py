@@ -125,7 +125,12 @@ def main():
         tcfg = GeneratorTrainConfig(
             batch_size=B, bf16=bf16,
             split_d_batch=bool(int(os.environ.get("TB_SPLIT_D", "0"))),
-            taps_wgrad=bool(int(os.environ.get("TB_TAPS", "0"))))
+            taps_wgrad=bool(int(os.environ.get("TB_TAPS", "0"))),
+            # attribution bisect knobs (composed-graph variants are the only
+            # honest way to attribute step time — ROADMAP §4)
+            no_vgg_loss=bool(int(os.environ.get("TB_NO_VGG", "0"))),
+            no_gan_feat_loss=bool(int(os.environ.get("TB_NO_FM", "0"))),
+            gt_mode=bool(int(os.environ.get("TB_GT", "0"))))
         tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
                               SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
