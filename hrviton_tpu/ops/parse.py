@@ -20,6 +20,7 @@ import numpy as np
 __all__ = [
     "LABELS_20_TO_13", "LABELS_13_TO_7", "remap_matrix", "onehot",
     "remap_parse", "parse20_to_13", "parse13_to_7", "group_index_of_label20",
+    "group_index_of_label13",
 ]
 
 # 13-way training groups over the 20 CIHP labels (cp_dataset.py:150-164).
@@ -86,6 +87,19 @@ def parse20_to_13(labels20):
 def parse13_to_7(seg13_onehot):
     """(N, H, W, 13) one-hot segmap -> (N, H, W, 7) SPADE conditioning map."""
     return remap_parse(seg13_onehot, "13to7")
+
+
+@functools.lru_cache(maxsize=None)
+def group_index_of_label13() -> np.ndarray:
+    """Lookup table: 13-label id -> 7-group id. For one-hot inputs,
+    ``onehot(lut[labels], 7) == parse13_to_7(onehot(labels, 13))`` exactly —
+    the LUT form is pure elementwise (no matmul, no 13-channel intermediate),
+    which matters in the composed inference graph."""
+    table = np.zeros((13,), dtype=np.int32)
+    for dst, srcs in LABELS_13_TO_7.items():
+        for s in srcs:
+            table[s] = dst
+    return table
 
 
 @functools.lru_cache(maxsize=None)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from hrviton_tpu.config import PipelineConfig
 from hrviton_tpu.ops.blur import gaussian_blur
 from hrviton_tpu.ops.grid_sample import grid_sample, make_grid
-from hrviton_tpu.ops.parse import onehot, parse13_to_7
+from hrviton_tpu.ops.parse import group_index_of_label13
 from hrviton_tpu.ops.resize import interpolate, resize_flow
 
 
@@ -108,11 +108,16 @@ def condition_forward(
     seg_full = interpolate(fake_segmap, size=(fh, fw), mode="bilinear")
     fake_parse_gauss = gaussian_blur(seg_full, (15, 15), (3.0, 3.0))
     fake_parse = jnp.argmax(fake_parse_gauss, axis=-1)
-    # one-hot/group values (small integers) are exact in bf16, so feeding the
-    # SPADE seg path at the pipeline compute dtype is parity-free (keeps the
-    # conv_shared/gamma/beta convs in bf16 under a bf16 pipeline)
-    parse7 = parse13_to_7(
-        onehot(fake_parse.astype(jnp.int32), 13).astype(cloth.dtype))
+    # 13->7 regroup of an argmax one-hot == a label LUT + 7-way one-hot
+    # (test_generator.py:180-203): pure elementwise — no 13-channel
+    # intermediate and no regroup matmul whose conv-layout output forced
+    # relayout copies into every SPADE seg consumer in the composed graph.
+    # One-hot values are exact in bf16, so the pipeline compute dtype is
+    # parity-free and keeps the seg convs in bf16.
+    glabel = jnp.take(jnp.asarray(group_index_of_label13()),
+                      fake_parse.astype(jnp.int32))
+    parse7 = (glabel[..., None] ==
+              jnp.arange(7, dtype=jnp.int32)).astype(cloth.dtype)
 
     # full-res warp with condition-grid normalization constants 96/128
     # (test_generator.py:205-213)

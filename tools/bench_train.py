@@ -131,8 +131,10 @@ def main():
             no_vgg_loss=bool(int(os.environ.get("TB_NO_VGG", "0"))),
             no_gan_feat_loss=bool(int(os.environ.get("TB_NO_FM", "0"))),
             gt_mode=bool(int(os.environ.get("TB_GT", "0"))))
-        tr = GeneratorTrainer(SPADEGenConfig(ngf=64),
-                              SPADEDiscriminatorConfig(), tcfg, pcfg, tocg_cfg)
+        gcfg = SPADEGenConfig(
+            ngf=64, remat=bool(int(os.environ.get("TB_REMAT", "1"))))
+        tr = GeneratorTrainer(gcfg, SPADEDiscriminatorConfig(), tcfg, pcfg,
+                              tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
         rngk = jax.random.PRNGKey(2)
         if int(os.environ.get("TB_SCAN", "0")):
