@@ -21,7 +21,7 @@ from hrviton_tpu.cli.common import (add_ignored_reference_flags,
                                     load_gen_variables, load_tocg_variables)
 from hrviton_tpu.config import PipelineConfig, SPADEGenConfig, TOCGConfig
 from hrviton_tpu.core.precision import bf16_params
-from hrviton_tpu.data import Loader, VitonHDDataset
+from hrviton_tpu.data import Loader, VitonHDDataset, expand_compact
 from hrviton_tpu.models import ConditionGenerator, SPADEGenerator
 from hrviton_tpu.pipelines import tryon_forward
 from hrviton_tpu.utils import (make_image_grid, save_images, to_uint8,
@@ -112,9 +112,16 @@ def main(argv=None):
     def run(batch):
         return run_impl(tv, gv, batch)
 
-    ds = VitonHDDataset(data_cfg_from_args(opt), mode="test_gen")
+    # compact wire format: uint8 host->device (10x fewer bytes over the
+    # interconnect), normalize/one-hot expanded on device (data/device.py)
+    compact = not opt.no_device_preprocess
+    ds = VitonHDDataset(data_cfg_from_args(opt), mode="test_gen",
+                        compact=compact)
     loader = Loader(ds, opt.batch_size, shuffle=False, drop_last=False,
                     num_workers=opt.workers)
+    import functools
+    expand = jax.jit(functools.partial(expand_compact,
+                                       semantic_nc=opt.semantic_nc))
 
     output_dir = opt.output_dir or os.path.join(
         "./output", opt.test_name, opt.datamode, opt.datasetting,
@@ -132,6 +139,10 @@ def main(argv=None):
         raw = loader.next_batch()
         names = raw.pop("c_name")
         raw.pop("im_name")
+        if compact:
+            # expanded dict has the full-contract keys, so the grid code
+            # below is oblivious to the wire format
+            raw = expand(jax.tree_util.tree_map(jnp.asarray, raw))
         batch = {
             "cloth": raw["cloth"][opt.datasetting],
             "cloth_mask": raw["cloth_mask"][opt.datasetting],
