@@ -40,6 +40,10 @@ class SPADEGenConfig:
     fine_width: int = 768
     remat: bool = True            # rematerialize SPADE blocks in backward
                                   # (full-res training needs it to fit HBM)
+    s2d_tail: bool = False        # run the full-res tail (up_3/up_4/conv_img)
+                                  # in the space-to-depth domain (ops/s2d.py):
+                                  # exact math, 128-lane-aligned channels.
+                                  # 'most' only; ignored otherwise.
 
     @property
     def num_up_layers(self) -> int:

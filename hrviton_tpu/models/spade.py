@@ -26,6 +26,8 @@ from hrviton_tpu.nn.layers import (Conv2d, InstanceNorm2d, SpectralNorm2d,
                                    BatchNorm2d, leaky_relu, xavier_normal_init)
 from hrviton_tpu.ops.conv3x3 import conv3x3
 from hrviton_tpu.ops.resize import interpolate
+from hrviton_tpu.ops.s2d import (concat_s2d, from_s2d, instance_norm_s2d,
+                                 to_s2d, upsample2x_s2d)
 from hrviton_tpu.ops.spade_fused import (fused_spade_eligible,
                                          fused_spade_modulate)
 
@@ -94,13 +96,34 @@ class SPADENorm(nn.Module):
     nhidden: int = 128
 
     @nn.compact
-    def __call__(self, x, seg, misalign_mask=None, train: bool = True):
+    def __call__(self, x, seg, misalign_mask=None, train: bool = True,
+                 s2d: bool = False):
         b, h, w, _ = x.shape
         noise_scale = self.param("noise_scale", nn.initializers.zeros,
                                  (self.norm_nc,), jnp.float32)
+        kind = self.norm_type[len("alias"):]
+        if s2d:
+            # x/seg are space-to-depth tensors (ops/s2d.py); identical math
+            # and parameter tree, 128-lane-aligned channel counts. The noise
+            # field is drawn at the plain full-res shape so the values (and
+            # the rng stream) match the plain path exactly.
+            if kind != "instance":
+                raise NotImplementedError("s2d SPADENorm: instance only")
+            noise2 = to_s2d(jax.random.normal(
+                self.make_rng("noise"), (b, 2 * h, 2 * w, 1), jnp.float32))
+            xn = x + (jnp.repeat(noise2, self.norm_nc, axis=-1)
+                      * jnp.tile(noise_scale, 4)).astype(x.dtype)
+            normalized = instance_norm_s2d(xn, self.norm_nc)
+            actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
+                          name="conv_shared")(seg, s2d=True)
+            gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                           name="conv_gamma")(actv, pre_act="relu", s2d=True)
+            beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                          name="conv_beta")(actv, pre_act="relu", s2d=True)
+            return normalized * (1.0 + gamma) + beta
+
         noise1 = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
                                    dtype=jnp.float32)
-        kind = self.norm_type[len("alias"):]
         if (kind == "instance"
                 and fused_spade_eligible(x.shape, self.nhidden, x.dtype)):
             # Fused Pallas path (ops/spade_fused.py): identical math and an
@@ -153,7 +176,7 @@ class SPADEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, seg, misalign_mask=None, train: bool = True,
-                 update_sn: bool = False):
+                 update_sn: bool = False, s2d: bool = False):
         learned_shortcut = self.input_nc != self.output_nc
         middle_nc = min(self.input_nc, self.output_nc)
 
@@ -166,10 +189,15 @@ class SPADEResBlock(nn.Module):
             subnorm = "aliasmask"
             label_nc = label_nc + 1
 
-        seg = interpolate(seg, size=x.shape[1:3], mode="nearest")
-        if misalign_mask is not None:
-            misalign_mask = interpolate(misalign_mask, size=x.shape[1:3],
-                                        mode="nearest")
+        if s2d:
+            # x and seg arrive as space-to-depth tensors on the same grid
+            # (the caller pre-resizes seg; mask norm is not s2d-supported)
+            assert misalign_mask is None
+        else:
+            seg = interpolate(seg, size=x.shape[1:3], mode="nearest")
+            if misalign_mask is not None:
+                misalign_mask = interpolate(misalign_mask, size=x.shape[1:3],
+                                            mode="nearest")
 
         def conv(feats, ksize, pad, use_bias, name):
             if spectral:
@@ -183,19 +211,22 @@ class SPADEResBlock(nn.Module):
 
         def apply_conv(mod, h, pre_act=None):
             if spectral:
-                return mod(h, update_stats=update_sn, pre_act=pre_act)
-            return mod(h, pre_act=pre_act)
+                return mod(h, update_stats=update_sn, pre_act=pre_act,
+                           s2d=s2d)
+            return mod(h, pre_act=pre_act, s2d=s2d)
 
         if learned_shortcut:
-            xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train)
+            xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train,
+                                               s2d=s2d)
             xs = apply_conv(conv(self.output_nc, 1, 0, False, "conv_s"), xs)
         else:
             xs = x
 
-        dx = norm(self.input_nc, "norm_0")(x, seg, misalign_mask, train)
+        dx = norm(self.input_nc, "norm_0")(x, seg, misalign_mask, train,
+                                           s2d=s2d)
         dx = apply_conv(conv(middle_nc, 3, 1, True, "conv_0"), dx,
                         pre_act="leaky0.2")
-        dx = norm(middle_nc, "norm_1")(dx, seg, misalign_mask, train)
+        dx = norm(middle_nc, "norm_1")(dx, seg, misalign_mask, train, s2d=s2d)
         dx = apply_conv(conv(self.output_nc, 3, 1, True, "conv_1"), dx,
                         pre_act="leaky0.2")
         return xs + dx
@@ -215,13 +246,18 @@ class SPADEGenerator(nn.Module):
                 "network_generator.py:230)")
         nf = cfg.ngf
         sh, sw = cfg.latent_hw
+        # s2d tail (ops/s2d.py): run the two full-res blocks + conv_img in
+        # the space-to-depth domain where their 7/16/32/80-channel tensors
+        # become 128-lane-aligned; exact math, identical parameter tree.
+        use_s2d = cfg.s2d_tail and cfg.num_upsampling_layers == "most"
 
+        n_feats = 6 if use_s2d else 8
         samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i), mode="nearest")
-                   for i in range(8)]
+                   for i in range(n_feats)]
         features = [
             Conv2d(nf * 16 if i == 0 else 16, 3, padding=1, kernel_init=_xavier,
                    name=f"conv_{i}")(samples[i])
-            for i in range(8)
+            for i in range(n_feats)
         ]
 
         # remat: recompute each SPADE block in the backward pass instead of
@@ -233,14 +269,24 @@ class SPADEGenerator(nn.Module):
             @nn.remat
             def run_block(mdl, x_, seg_):
                 return mdl(x_, seg_, None, train, update_sn)
+
+            @nn.remat
+            def run_block_s2d(mdl, x_, seg_):
+                return mdl(x_, seg_, None, train, update_sn, s2d=True)
         else:
             def run_block(mdl, x_, seg_):
                 return mdl(x_, seg_, None, train, update_sn)
 
+            def run_block_s2d(mdl, x_, seg_):
+                return mdl(x_, seg_, None, train, update_sn, s2d=True)
+
+        def make_block(in_nc, out_nc, name):
+            return SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
+                                 gen_semantic_nc=cfg.gen_semantic_nc,
+                                 use_mask_norm=False, name=name)
+
         def block(in_nc, out_nc, name):
-            mdl = SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
-                                gen_semantic_nc=cfg.gen_semantic_nc,
-                                use_mask_norm=False, name=name)
+            mdl = make_block(in_nc, out_nc, name)
             return lambda x_, seg_, _m, _t, _u: run_block(mdl, x_, seg_)
 
         def up(h):
@@ -271,6 +317,28 @@ class SPADEGenerator(nn.Module):
         h = block(nf * 4 + 16, nf * 2, "up_2")(
             jnp.concatenate([h, features[5]], axis=-1), seg, None, train,
             update_sn)
+
+        if use_s2d:
+            # 'most' tail at 512x384 and 1024x768 in the s2d domain. The
+            # nearest downscales of the 8-scale input pyramid are stride-2
+            # slices == phase-0 channels, the nearest x2 upsample is a
+            # channel tile, and the seg pyramid maps the same way.
+            feat6 = Conv2d(16, 3, padding=1, kernel_init=_xavier,
+                           name="conv_6")(to_s2d(x[:, ::2, ::2, :]), s2d=True)
+            feat7 = Conv2d(16, 3, padding=1, kernel_init=_xavier,
+                           name="conv_7")(to_s2d(x), s2d=True)
+            seg6 = to_s2d(seg[:, ::2, ::2, :])
+            seg7 = to_s2d(seg)
+            h = upsample2x_s2d(h)                         # up to 512x384
+            h = concat_s2d([h, feat6], [nf * 2, 16])
+            h = run_block_s2d(make_block(nf * 2 + 16, nf, "up_3"), h, seg6)
+            h = upsample2x_s2d(from_s2d(h, nf))           # up to 1024x768
+            h = concat_s2d([h, feat7], [nf, 16])
+            h = run_block_s2d(make_block(nf + 16, nf // 2, "up_4"), h, seg7)
+            h = Conv2d(3, 3, padding=1, kernel_init=_xavier,
+                       name="conv_img")(h, pre_act="leaky0.2", s2d=True)
+            return jnp.tanh(from_s2d(h, 3))
+
         h = up(h)
         h = block(nf * 2 + 16, nf, "up_3")(
             jnp.concatenate([h, features[6]], axis=-1), seg, None, train,

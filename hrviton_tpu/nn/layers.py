@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from hrviton_tpu.ops.conv3x3 import conv3x3
+from hrviton_tpu.ops.s2d import conv1x1_s2d, conv3x3_s2d
 
 Array = jax.Array
 Dtype = Any
@@ -82,14 +83,29 @@ class _ConvCore(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, pre_act: Optional[str] = None):
+    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False):
         kh, kw = self.kernel_size
+        # s2d: x is a space-to-depth tensor (4*Cin lanes) but the declared
+        # kernel keeps the plain Cin — the param tree is domain-oblivious.
+        in_ch = x.shape[-1] // 4 if s2d else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+                            (kh, kw, in_ch, self.features), jnp.float32)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
         dtype = x.dtype if self.dtype is None else self.dtype
         x = x.astype(dtype)
+        if s2d:
+            if pre_act is not None:
+                x = (leaky_relu(x, 0.2) if pre_act == "leaky0.2"
+                     else jax.nn.relu(x))
+            if (kh, kw) == (3, 3) and self.stride == (1, 1) \
+                    and self.padding == (1, 1):
+                return conv3x3_s2d(x, kernel, bias, dtype)
+            if (kh, kw) == (1, 1) and self.stride == (1, 1) \
+                    and self.padding == (0, 0):
+                return conv1x1_s2d(x, kernel, bias, dtype)
+            raise NotImplementedError(
+                f"s2d conv only for 3x3/s1/p1 and 1x1: {self.kernel_size}")
         if ((kh, kw) == (3, 3) and self.stride == (1, 1)
                 and self.padding == (1, 1)):
             return conv3x3(x, kernel, bias, pre_act=pre_act)
@@ -120,7 +136,7 @@ class Conv2d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, pre_act: Optional[str] = None):
+    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
@@ -134,7 +150,7 @@ class Conv2d(nn.Module):
             bias_init=self.bias_init,
             dtype=self.dtype,
             name="conv",
-        )(x, pre_act=pre_act)
+        )(x, pre_act=pre_act, s2d=s2d)
 
 
 class BatchNorm2d(nn.Module):
@@ -214,12 +230,12 @@ class SpectralNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False,
-                 pre_act: Optional[str] = None):
+                 pre_act: Optional[str] = None, s2d: bool = False):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
 
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // 4 if s2d else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (k[0], k[1], in_ch, self.features), jnp.float32)
         # torch reshapes OIHW weight to (O, I*H*W); our HWIO equivalent.
@@ -255,6 +271,16 @@ class SpectralNorm2d(nn.Module):
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
 
+        if s2d:
+            if pre_act is not None:
+                x = (leaky_relu(x, 0.2) if pre_act == "leaky0.2"
+                     else jax.nn.relu(x))
+            if k == (3, 3) and s == (1, 1) and p == (1, 1):
+                return conv3x3_s2d(x, w_sn, bias, x.dtype)
+            if k == (1, 1) and s == (1, 1) and p == (0, 0):
+                return conv1x1_s2d(x, w_sn, bias, x.dtype)
+            raise NotImplementedError(
+                f"s2d conv only for 3x3/s1/p1 and 1x1: {k}")
         if k == (3, 3) and s == (1, 1) and p == (1, 1):
             return conv3x3(x, w_sn, bias, pre_act=pre_act)
         if pre_act is not None:

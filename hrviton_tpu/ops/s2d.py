@@ -35,7 +35,7 @@ import numpy as np
 from jax import lax
 
 __all__ = ["to_s2d", "from_s2d", "conv3x3_s2d", "conv1x1_s2d",
-           "instance_norm_s2d", "upsample2x_s2d"]
+           "instance_norm_s2d", "upsample2x_s2d", "concat_s2d"]
 
 
 def to_s2d(x: jax.Array) -> jax.Array:
@@ -57,6 +57,19 @@ def from_s2d(y: jax.Array, c: int) -> jax.Array:
 def upsample2x_s2d(x: jax.Array) -> jax.Array:
     """s2d of nearest-x2 upsample: every phase equals the source pixel."""
     return jnp.concatenate([x, x, x, x], axis=-1)
+
+
+def concat_s2d(parts, channels) -> jax.Array:
+    """Channel-concat in the s2d domain.
+
+    A plain ``concatenate([a, b], -1)`` of phase-major s2d tensors would put
+    all of a's phases before b's; the s2d rep of the full-res concat instead
+    interleaves per phase. ``channels`` lists each part's ORIGINAL (plain)
+    channel count."""
+    n, hh, ww = parts[0].shape[:3]
+    split = [p.reshape(n, hh, ww, 4, c) for p, c in zip(parts, channels)]
+    return jnp.concatenate(split, axis=-1).reshape(n, hh, ww,
+                                                   4 * sum(channels))
 
 
 @functools.lru_cache(maxsize=None)

@@ -81,6 +81,38 @@ def test_instance_norm():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_generator_s2d_tail_equivalence():
+    """SPADEGenerator(s2d_tail=True) == plain path: same params, same noise
+    rng, identical output up to conv reassociation (f32)."""
+    import dataclasses
+
+    from hrviton_tpu.config import SPADEGenConfig
+    from hrviton_tpu.models import SPADEGenerator
+
+    cfg = SPADEGenConfig(ngf=8, fine_height=256, fine_width=128,
+                         num_upsampling_layers="most", remat=False)
+    gen_plain = SPADEGenerator(cfg)
+    gen_s2d = SPADEGenerator(dataclasses.replace(cfg, s2d_tail=True))
+
+    k = jax.random.PRNGKey(0)
+    x = arr(2, 256, 128, 9)
+    seg = arr(2, 256, 128, 7)
+    variables = gen_plain.init({"params": k, "noise": k}, x, seg, train=False)
+
+    nk = jax.random.PRNGKey(3)
+    ref = gen_plain.apply(variables, x, seg, train=False,
+                          rngs={"noise": nk})
+    got = gen_s2d.apply(variables, x, seg, train=False, rngs={"noise": nk})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+    # param tree is domain-oblivious: init under s2d matches the plain tree
+    v2 = gen_s2d.init({"params": k, "noise": k}, x, seg, train=False)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2
+
+
 def test_full_block_equivalence():
     # the composed up_4 SPADE block (tools/exp_up4.py --check wires this at
     # larger shapes); here a quick small-shape gate for CI
