@@ -51,7 +51,10 @@ def main():
     dtype = jnp.bfloat16
     pcfg = PipelineConfig()
     tocg = ConditionGenerator(TOCGConfig(ngf=96))
-    gen = SPADEGenerator(SPADEGenConfig(ngf=64))
+    # BENCH_S2D=1 runs the generator's full-res tail in the space-to-depth
+    # domain (ops/s2d.py) — exact math, 128-lane-aligned channels.
+    gen = SPADEGenerator(SPADEGenConfig(
+        ngf=64, s2d_tail=bool(int(os.environ.get("BENCH_S2D", "0")))))
 
     k = jax.random.PRNGKey(0)
     tv = jax.jit(lambda key: tocg.init(
