@@ -132,7 +132,8 @@ def main():
             no_gan_feat_loss=bool(int(os.environ.get("TB_NO_FM", "0"))),
             gt_mode=bool(int(os.environ.get("TB_GT", "0"))))
         gcfg = SPADEGenConfig(
-            ngf=64, remat=bool(int(os.environ.get("TB_REMAT", "1"))))
+            ngf=64, remat=bool(int(os.environ.get("TB_REMAT", "1"))),
+            s2d_tail=bool(int(os.environ.get("TB_S2D", "0"))))
         tr = GeneratorTrainer(gcfg, SPADEDiscriminatorConfig(), tcfg, pcfg,
                               tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
