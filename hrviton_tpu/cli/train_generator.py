@@ -52,9 +52,11 @@ def get_opt(argv=None):
     p.add_argument("--dis_checkpoint", default="")
     p.add_argument("--vgg_weights", default="")
     p.add_argument("--lpips_weights", default="")
-    p.add_argument("--taps_wgrad", action="store_true",
+    p.add_argument("--taps_wgrad", action="store_true", default=True,
                    help="im2col-free 3x3 conv weight gradients (lower peak "
-                        "HBM; enables larger per-chip batches)")
+                        "HBM; enables larger per-chip batches). Default on; "
+                        "--no_taps_wgrad restores XLA's im2col wgrad")
+    p.add_argument("--no_taps_wgrad", dest="taps_wgrad", action="store_false")
     p.add_argument("--allow_random_vgg", action="store_true",
                    help="run with a randomly initialized VGG19 perceptual "
                         "backbone (changes the training objective; smoke "

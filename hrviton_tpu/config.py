@@ -157,10 +157,17 @@ class GeneratorTrainConfig:
     load_step: int = 0
     bf16: bool = False            # compute-in-bf16 / params-in-f32
                                   # (replaces apex AMP O1; no loss scaling)
-    taps_wgrad: bool = False      # im2col-free 3x3 conv weight gradients
+    taps_wgrad: bool = True       # im2col-free 3x3 conv weight gradients
                                   # (scan-chunked tap matmuls) — cuts the
                                   # ~1.1 GB/conv wgrad temps at full res so
-                                  # larger per-chip batches fit HBM
+                                  # larger per-chip batches fit HBM. Exactly
+                                  # equivalent numerically (tests/
+                                  # test_round2_fixes.py) and never slower;
+                                  # default ON since round 3
+    d_remat: bool = True          # jax.checkpoint the D forward (recompute its
+                                  # activations in backward). Required to fit
+                                  # 16G HBM at full res; off shrinks compile
+                                  # time for tiny-shape dryruns/tests
     split_d_batch: bool = False   # run D on fake/real separately instead of
                                   # the reference's cat(fake, real): identical
                                   # math for the instance-norm D (per-sample

@@ -137,15 +137,20 @@ def l2_distance(x, y):
 
 
 def dssim_distance(x, y):
-    """(1 - SSIM) / 2 on [0,1]-scaled images (networks_basic.py DSSIM).
+    """(1 - SSIM) / 2, skimage-default-exact (networks_basic.py:167-174 →
+    eval_models/__init__.py:52-53: compare_ssim(multichannel=True,
+    data_range=255) on tensor2im uint8 images).
 
-    Plain 8x8 uniform-window SSIM per channel, averaged (the reference
-    delegates to skimage compare_ssim; this is the standard formulation)."""
-    a = (x.astype(jnp.float32) + 1.0) / 2.0
-    b = (y.astype(jnp.float32) + 1.0) / 2.0
-    k = 8
-    win = jnp.ones((k, k, 1, 1), jnp.float32) / (k * k)
+    skimage defaults: 7x7 uniform window, sample covariance (N/(N-1)),
+    border crop of (win-1)/2 — the crop makes a VALID conv exact (the cropped
+    region of the reflect-padded 'same' filter never sees padding). Inputs are
+    [-1,1] images; tensor2im's uint8 cast truncates toward zero."""
+    # tensor2im (eval_models/__init__.py:106-112): (img+1)*127.5 astype(uint8)
+    a = jnp.clip(jnp.floor((x.astype(jnp.float32) + 1.0) * 127.5), 0.0, 255.0)
+    b = jnp.clip(jnp.floor((y.astype(jnp.float32) + 1.0) * 127.5), 0.0, 255.0)
+    k = 7
     c = a.shape[-1]
+    win = jnp.full((k, k, 1, 1), 1.0 / (k * k), jnp.float32)
     win = jnp.broadcast_to(win, (k, k, 1, c))
     dn = jax.lax.conv_dimension_numbers(a.shape, win.shape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -155,13 +160,16 @@ def dssim_distance(x, y):
                                             dimension_numbers=dn,
                                             feature_group_count=c)
 
+    cov_norm = (k * k) / (k * k - 1.0)  # use_sample_covariance=True
     mu_a, mu_b = filt(a), filt(b)
-    var_a = filt(a * a) - mu_a ** 2
-    var_b = filt(b * b) - mu_b ** 2
-    cov = filt(a * b) - mu_a * mu_b
-    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    var_a = cov_norm * (filt(a * a) - mu_a ** 2)
+    var_b = cov_norm * (filt(b * b) - mu_b ** 2)
+    cov = cov_norm * (filt(a * b) - mu_a * mu_b)
+    data_range = 255.0
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
     ssim_map = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / \
         ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    # per-channel mean then channel average == mean over the map
     ssim = jnp.mean(ssim_map, axis=tuple(range(1, ssim_map.ndim)))
     return (1.0 - ssim) / 2.0
 

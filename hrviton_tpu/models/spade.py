@@ -237,7 +237,18 @@ class SPADEGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x, seg, train: bool = True, update_sn: bool = False):
-        """x: (N, fine_h, fine_w, input_nc); seg: (N, fine_h, fine_w, 7)."""
+        """x: (N, fine_h, fine_w, input_nc); seg: (N, fine_h, fine_w, 7)
+        float one-hot, or (N, fine_h, fine_w) int LABELS in [0, 7).
+
+        The label form is the composed-pipeline fast path: every SPADE block
+        consumes seg nearest-downsampled to its scale, and for an in-graph-
+        produced full-res one-hot XLA loses the slice fusions it has when seg
+        is a jit argument (+50 GB logical traffic measured at 1024x768 b4,
+        tools/exp_hlo_diff.py). Slicing the compact int map per scale and
+        one-hotting locally is bit-identical (slice of a one-hot == one-hot of
+        the slice; nearest integer-ratio downsample == stride slice,
+        ops/resize.py:64-90) but keeps each consumer chain tiny and fusible.
+        """
         cfg = self.cfg
         if cfg.num_upsampling_layers not in ("more", "most"):
             raise ValueError(
@@ -246,6 +257,26 @@ class SPADEGenerator(nn.Module):
                 "network_generator.py:230)")
         nf = cfg.ngf
         sh, sw = cfg.latent_hw
+
+        labels = seg if seg.ndim == 3 else None
+
+        def seg_for(ref):
+            """seg at ref's spatial scale: one-hot of the strided label
+            slice (labels form), or the full map for the blocks' own
+            nearest resize (one-hot form)."""
+            if labels is None:
+                return seg
+            th, tw = ref.shape[1], ref.shape[2]
+            lh, lw = labels.shape[1], labels.shape[2]
+            if lh % th or lw % tw:   # non-integer ratio: fall back via take
+                lab = interpolate(labels[..., None].astype(jnp.float32),
+                                  size=(th, tw), mode="nearest")[..., 0]
+                lab = lab.astype(jnp.int32)
+            else:
+                lab = labels[:, ::lh // th, ::lw // tw].astype(jnp.int32)
+            return (lab[..., None] ==
+                    jnp.arange(cfg.gen_semantic_nc, dtype=jnp.int32)
+                    ).astype(x.dtype)
         # s2d tail (ops/s2d.py): run the two full-res blocks + conv_img in
         # the space-to-depth domain where their 7/16/32/80-channel tensors
         # become 128-lane-aligned; exact math, identical parameter tree.
@@ -292,43 +323,44 @@ class SPADEGenerator(nn.Module):
         def up(h):
             return interpolate(h, scale_factor=2, mode="nearest")
 
-        h = block(nf * 16, nf * 16, "head_0")(features[0], seg, None, train,
-                                              update_sn)
+        h = block(nf * 16, nf * 16, "head_0")(features[0], seg_for(features[0]),
+                                              None, train, update_sn)
         h = up(h)
         h = block(nf * 16 + 16, nf * 16, "G_middle_0")(
-            jnp.concatenate([h, features[1]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[1]], axis=-1), seg_for(features[1]),
+            None, train, update_sn)
         if cfg.num_upsampling_layers in ("more", "most"):
             h = up(h)
         h = block(nf * 16 + 16, nf * 16, "G_middle_1")(
-            jnp.concatenate([h, features[2]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[2]], axis=-1), seg_for(features[2]),
+            None, train, update_sn)
 
         out_nf = nf
         h = up(h)
         h = block(nf * 16 + 16, nf * 8, "up_0")(
-            jnp.concatenate([h, features[3]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[3]], axis=-1), seg_for(features[3]),
+            None, train, update_sn)
         h = up(h)
         h = block(nf * 8 + 16, nf * 4, "up_1")(
-            jnp.concatenate([h, features[4]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[4]], axis=-1), seg_for(features[4]),
+            None, train, update_sn)
         h = up(h)
         h = block(nf * 4 + 16, nf * 2, "up_2")(
-            jnp.concatenate([h, features[5]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[5]], axis=-1), seg_for(features[5]),
+            None, train, update_sn)
 
         if use_s2d:
             # 'most' tail at 512x384 and 1024x768 in the s2d domain. The
             # nearest downscales of the 8-scale input pyramid are stride-2
             # slices == phase-0 channels, the nearest x2 upsample is a
             # channel tile, and the seg pyramid maps the same way.
+            x6 = x[:, ::2, ::2, :]
             feat6 = Conv2d(16, 3, padding=1, kernel_init=_xavier,
-                           name="conv_6")(to_s2d(x[:, ::2, ::2, :]), s2d=True)
+                           name="conv_6")(to_s2d(x6), s2d=True)
             feat7 = Conv2d(16, 3, padding=1, kernel_init=_xavier,
                            name="conv_7")(to_s2d(x), s2d=True)
-            seg6 = to_s2d(seg[:, ::2, ::2, :])
-            seg7 = to_s2d(seg)
+            seg6 = to_s2d(seg_for(x6))
+            seg7 = to_s2d(seg_for(x))
             h = upsample2x_s2d(h)                         # up to 512x384
             h = concat_s2d([h, feat6], [nf * 2, 16])
             h = run_block_s2d(make_block(nf * 2 + 16, nf, "up_3"), h, seg6)
@@ -341,13 +373,13 @@ class SPADEGenerator(nn.Module):
 
         h = up(h)
         h = block(nf * 2 + 16, nf, "up_3")(
-            jnp.concatenate([h, features[6]], axis=-1), seg, None, train,
-            update_sn)
+            jnp.concatenate([h, features[6]], axis=-1), seg_for(features[6]),
+            None, train, update_sn)
         if cfg.num_upsampling_layers == "most":
             h = up(h)
             h = block(nf + 16, nf // 2, "up_4")(
-                jnp.concatenate([h, features[7]], axis=-1), seg, None, train,
-                update_sn)
+                jnp.concatenate([h, features[7]], axis=-1),
+                seg_for(features[7]), None, train, update_sn)
             out_nf = nf // 2
 
         h = Conv2d(3, 3, padding=1, kernel_init=_xavier,

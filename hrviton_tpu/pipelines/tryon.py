@@ -36,6 +36,9 @@ class ConditionOutputs(NamedTuple):
     fake_parse_gauss: jax.Array   # blurred 13-ch logits at fine res
     fake_parse: jax.Array         # argmax labels (N, H, W)
     parse7: jax.Array             # 7-ch SPADE conditioning map at fine res
+    parse_labels: jax.Array       # 7-way int labels (N, H, W) — the compact
+                                  # form parse7 one-hots; SPADEGenerator takes
+                                  # it directly (bit-identical, fusion-friendly)
     warped_cloth: jax.Array       # full-res warped cloth (after occlusion if on)
     warped_clothmask: jax.Array
 
@@ -118,6 +121,7 @@ def condition_forward(
                       fake_parse.astype(jnp.int32))
     parse7 = (glabel[..., None] ==
               jnp.arange(7, dtype=jnp.int32)).astype(cloth.dtype)
+    parse_labels = glabel.astype(jnp.int32)
 
     # full-res warp with condition-grid normalization constants 96/128
     # (test_generator.py:205-213)
@@ -139,7 +143,7 @@ def condition_forward(
             (1.0 - warped_clothmask)
 
     return ConditionOutputs(flow_list, fake_segmap, warped_c_lr, warped_cm_lr,
-                            fake_parse_gauss, fake_parse, parse7,
+                            fake_parse_gauss, fake_parse, parse7, parse_labels,
                             warped_cloth, warped_clothmask)
 
 
@@ -161,5 +165,7 @@ def tryon_forward(
     cond = condition_forward(tocg_apply, batch, cfg, cloth_key, clothmask_key)
     gen_in = jnp.concatenate(
         [batch["agnostic"], batch["densepose"], cond.warped_cloth], axis=-1)
-    output = generator_apply(gen_in, cond.parse7)
+    # compact labels, not the full-res one-hot: SPADEGenerator one-hots per
+    # scale locally (exact; recovers the composed-graph seg-interface cost)
+    output = generator_apply(gen_in, cond.parse_labels)
     return output, cond

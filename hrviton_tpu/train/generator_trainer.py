@@ -82,7 +82,9 @@ class GeneratorTrainer:
     # ---------------------------------------------------------- conditioning
     def conditioning(self, batch, tocg_vars=None):
         """No-grad conditioning (train_generator.py:201-275): returns the
-        9-channel generator input and 7-channel parse."""
+        9-channel generator input, the 7-channel parse (for the D), and the
+        compact 7-way int label map (the generator's fusion-friendly seg
+        form — bit-identical, see models/spade.py seg_for)."""
         if self.tcfg.gt_mode or self.tocg is None:
             fake_parse = jnp.argmax(batch["parse"], axis=-1)
             warped_cloth = batch["parse_cloth"]
@@ -100,7 +102,9 @@ class GeneratorTrainer:
                   jnp.arange(7, dtype=jnp.int32)).astype(jnp.float32)
         gen_in = jnp.concatenate(
             [batch["agnostic"], batch["densepose"], warped_cloth], axis=-1)
-        return jax.lax.stop_gradient(gen_in), jax.lax.stop_gradient(parse7)
+        return (jax.lax.stop_gradient(gen_in),
+                jax.lax.stop_gradient(parse7),
+                jax.lax.stop_gradient(glabel.astype(jnp.int32)))
 
     def _d_forward(self, d_vars, parse7, fake, real, update_sn: bool = False):
         """Concat-batch D forward (train_generator.py:281-295): instance-norm D
@@ -111,10 +115,12 @@ class GeneratorTrainer:
         # mutable=False, not []: an empty mutable list still switches flax to
         # the (out, vars) tuple return. jax.checkpoint: recompute D activations
         # in backward — full-res GAN training does not fit 16G HBM otherwise.
-        @jax.checkpoint
         def d_fwd(dv_, x_):
             return self.d.apply(dv_, x_, train=True, update_sn=update_sn,
                                 mutable=["aux"] if update_sn else False)
+
+        if self.tcfg.d_remat:
+            d_fwd = jax.checkpoint(d_fwd)
 
         new_vars = None
         if self.tcfg.split_d_batch:
@@ -156,7 +162,7 @@ class GeneratorTrainer:
             else (lambda t: t)
         batch = cast(batch)
         frozen = cast(frozen)
-        gen_in, parse7 = self.conditioning(batch, frozen.get("tocg"))
+        gen_in, parse7, labels = self.conditioning(batch, frozen.get("tocg"))
         im = batch["image"]
         rng_g, rng_d = jax.random.split(rng)
         d_vars = cast(state.d.variables())
@@ -164,7 +170,7 @@ class GeneratorTrainer:
         # ---- G update
         def g_loss_fn(p):
             out = self.gen.apply({"params": cast(p), **state.g.extras},
-                                 gen_in, parse7, train=True, update_sn=True,
+                                 gen_in, labels, train=True, update_sn=True,
                                  rngs={"noise": rng_g},
                                  mutable=list(state.g.extras.keys()))
             output, new_g_vars = out if isinstance(out, tuple) else (out, {})
@@ -194,7 +200,7 @@ class GeneratorTrainer:
         # ---- D update on a fresh no-grad output of the *updated* G
         # (train_generator.py:327-334)
         output_ng = jax.lax.stop_gradient(self.gen.apply(
-            {"params": cast(g_params), **g_extras}, gen_in, parse7, train=True,
+            {"params": cast(g_params), **g_extras}, gen_in, labels, train=True,
             update_sn=False, rngs={"noise": rng_d}))
 
         def d_loss_fn(p):
@@ -223,8 +229,8 @@ class GeneratorTrainer:
     # ------------------------------------------------------------- inference
     @functools.partial(jax.jit, static_argnums=0)
     def generate(self, state: GANState, batch, rng, tocg_vars=None):
-        gen_in, parse7 = self.conditioning(batch, tocg_vars)
-        return self.gen.apply(state.g.variables(), gen_in, parse7,
+        gen_in, _, labels = self.conditioning(batch, tocg_vars)
+        return self.gen.apply(state.g.variables(), gen_in, labels,
                               train=False, rngs={"noise": rng})
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -249,10 +255,9 @@ class GeneratorTrainer:
         # see pipelines/tryon.py) -- elementwise, no regroup matmul
         glabel = jnp.take(jnp.asarray(group_index_of_label13()),
                           fake_parse.astype(jnp.int32))
-        parse7 = (glabel[..., None] ==
-                  jnp.arange(7, dtype=jnp.int32)).astype(jnp.float32)
         gen_in = jnp.concatenate(
             [batch["agnostic"], batch["densepose"], warped_cloth], axis=-1)
-        out = self.gen.apply(state.g.variables(), gen_in, parse7,
+        out = self.gen.apply(state.g.variables(), gen_in,
+                             glabel.astype(jnp.int32),
                              train=False, rngs={"noise": rng})
         return out, warped_cloth, fpg

@@ -17,6 +17,8 @@ asserts (a) the converted tree matches the Flax template structure exactly and
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import torch

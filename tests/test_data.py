@@ -102,6 +102,25 @@ def test_loader_batches_and_restarts(dataroot):
         loader.close()
 
 
+def test_loader_process_workers_match_threads(dataroot):
+    """Spawn-context process workers must yield the identical batch stream as
+    the thread pool (same seeded permutation, same reassembly order)."""
+    ds = VitonHDDataset(_cfg(dataroot), mode="train")
+    lt = Loader(ds, batch_size=2, shuffle=True, num_workers=2, seed=7)
+    lp = Loader(ds, batch_size=2, shuffle=True, num_workers=2, seed=7,
+                worker_processes=True)
+    try:
+        for _ in range(3):
+            bt, bp = lt.next_batch(), lp.next_batch()
+            assert bt["im_name"] == bp["im_name"]
+            np.testing.assert_array_equal(bt["image"], bp["image"])
+            np.testing.assert_array_equal(bt["cloth"]["paired"],
+                                          bp["cloth"]["paired"])
+    finally:
+        lt.close()
+        lp.close()
+
+
 def test_collate_nested():
     s = {"image": np.zeros((2, 2, 3)), "cloth": {"paired": np.ones((2, 2, 3))},
          "im_name": "a.jpg", "c_name": {"paired": "a.jpg"}}

@@ -36,6 +36,42 @@ def test_l2_and_dssim_distances():
     assert float(dssim_distance(x, y).min()) > 0
 
 
+def test_dssim_matches_skimage_default():
+    """Golden vs an independent scipy replica of skimage structural_similarity
+    DEFAULTS (7x7 uniform window, sample covariance, reflect-pad + border
+    crop) — the exact delegate of the reference DSSIM fake net
+    (networks_basic.py:167-174 -> eval_models/__init__.py:52-53)."""
+    from scipy.ndimage import uniform_filter
+
+    def skimage_ssim_2d(a, b, data_range=255.0, win=7):
+        a = a.astype(np.float64)
+        b = b.astype(np.float64)
+        filt = lambda v: uniform_filter(v, size=win, mode="reflect")
+        np_ = win * win
+        cov_norm = np_ / (np_ - 1.0)
+        ux, uy = filt(a), filt(b)
+        vx = cov_norm * (filt(a * a) - ux * ux)
+        vy = cov_norm * (filt(b * b) - uy * uy)
+        vxy = cov_norm * (filt(a * b) - ux * uy)
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / \
+            ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+        pad = (win - 1) // 2
+        return s[pad:-pad, pad:-pad].mean()
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (1, 40, 40, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.15, x.shape), -1, 1).astype(np.float32)
+    # reference path: tensor2im uint8 truncation, per-channel ssim, averaged
+    xi = ((x[0] + 1.0) * 127.5).astype(np.uint8).astype(np.float64)
+    yi = ((y[0] + 1.0) * 127.5).astype(np.uint8).astype(np.float64)
+    want = (1.0 - np.mean([skimage_ssim_2d(xi[..., c], yi[..., c])
+                           for c in range(3)])) / 2.0
+    got = float(dssim_distance(jnp.asarray(x), jnp.asarray(y))[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_score_2afc():
     d0 = np.array([0.1, 0.9, 0.5])
     d1 = np.array([0.9, 0.1, 0.5])

@@ -89,6 +89,32 @@ def test_spade_generator_shapes(layers, expect_div):
     assert float(jnp.max(jnp.abs(out))) <= 1.0  # tanh range
 
 
+@pytest.mark.parametrize("layers,expect_div", [("more", 64), ("most", 128)])
+def test_spade_generator_label_seg_equivalence(layers, expect_div):
+    """The compact int label-map seg form (the composed-pipeline fast path,
+    models/spade.py seg_for) must be BIT-identical to the full-res one-hot
+    form: slice of a one-hot == one-hot of the slice, and same-size nearest
+    interpolate is a no-op."""
+    fh = fw = expect_div * 2
+    cfg = SPADEGenConfig(ngf=8, fine_height=fh, fine_width=fw,
+                         num_upsampling_layers=layers)
+    model = SPADEGenerator(cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, fh, fw, 9)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 7, (1, fh, fw)), dtype=jnp.int32)
+    onehot = (labels[..., None] == jnp.arange(7, dtype=jnp.int32)) \
+        .astype(jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x, onehot, train=False)
+    out_onehot = model.apply(variables, x, onehot, train=False,
+                             rngs={"noise": jax.random.PRNGKey(2)})
+    out_labels = model.apply(variables, x, labels, train=False,
+                             rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(np.asarray(out_onehot),
+                                  np.asarray(out_labels))
+
+
 def test_spade_generator_rejects_normal_mode():
     cfg = SPADEGenConfig(ngf=8, num_upsampling_layers="normal")
     model = SPADEGenerator(cfg)

@@ -16,6 +16,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = textwrap.dedent("""
@@ -61,12 +63,137 @@ _CHILD = textwrap.dedent("""
 """)
 
 
+# A real stage-1 train step across process boundaries: metrics from a
+# 2-process x 2-device run must equal the 1-process x 4-device run (the
+# TPU-native replacement of SyncBN's cross-replica reduction,
+# /root/reference/sync_batchnorm/batchnorm.py:92-113 — same global mesh,
+# same program, only the host partitioning differs).
+_TRAIN_CHILD = textwrap.dedent("""
+    import json
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    nproc, pid, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    from hrviton_tpu.core.mesh import (batch_sharding, init_distributed,
+                                       make_mesh, replicated, shard_batch)
+    if nproc > 1:
+        init_distributed(f"localhost:{port}", num_processes=nproc,
+                         process_id=pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from hrviton_tpu.config import (CondDiscriminatorConfig,
+                                    ConditionTrainConfig, TOCGConfig)
+    from hrviton_tpu.losses.perceptual import make_vgg_loss
+    from hrviton_tpu.train import ConditionTrainer
+
+    mesh = make_mesh()
+    assert jax.device_count() == 4
+    GB, CH, CW = 4, 32, 32
+    tr = ConditionTrainer(TOCGConfig(ngf=4),
+                          CondDiscriminatorConfig(input_nc=33, ndf=4),
+                          ConditionTrainConfig(batch_size=GB))
+    vgg = make_vgg_loss(image_hw=(CH, CW))
+    state = tr.init(jax.random.PRNGKey(1), cond_hw=(CH, CW))
+    # via HOST numpy: resharding device-committed trees compiles a per-leaf
+    # transfer program (~0.3 s/leaf on CPU); from host it is instant
+    to_host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    state = jax.device_put(to_host(state), replicated(mesh))
+    vgg_vars = jax.device_put(to_host(vgg.variables), replicated(mesh))
+
+    rng = np.random.default_rng(0)
+    def arr(c, h=CH, w=CW):
+        return rng.standard_normal((GB, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, 13, (GB, CH, CW)).astype(np.int32)
+    full = {
+        "cloth": {"paired": arr(3)},
+        "cloth_mask": {"paired":
+            rng.uniform(0, 1, (GB, CH, CW, 1)).astype(np.float32)},
+        "parse_agnostic": arr(13), "densepose": arr(3),
+        "parse_onehot": labels,
+        "parse": (labels[..., None] == np.arange(13)).astype(np.float32),
+        "pcm": rng.uniform(0, 1, (GB, CH, CW, 1)).astype(np.float32),
+        "parse_cloth": arr(3),
+    }
+    if nproc > 1:
+        lo, hi = pid * (GB // nproc), (pid + 1) * (GB // nproc)
+        local = jax.tree_util.tree_map(lambda a: a[lo:hi], full)
+        batch = shard_batch(mesh, local)
+    else:
+        batch = jax.device_put(full, batch_sharding(mesh))
+
+    with mesh:
+        _, metrics = tr.train_step(state, batch, jax.random.PRNGKey(2),
+                                   vgg_vars)
+        metrics = {k: float(v) for k, v in metrics.items()}
+    print("METRICS " + json.dumps(metrics, sort_keys=True), flush=True)
+""")
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def _run_children(script_path, argv_per_child, device_count, env_base):
+    env = dict(env_base)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count={device_count}"])
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(script_path)] + argv,
+                              env=env, text=True, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, cwd=_REPO)
+             for argv in argv_per_child]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return procs, outs
+
+
+def _metrics_from(out: str):
+    import json
+    for line in out.splitlines():
+        if line.startswith("METRICS "):
+            return json.loads(line[len("METRICS "):])
+    return None
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    script = tmp_path / "train_child.py"
+    script.write_text(_TRAIN_CHILD)
+
+    port = _free_port()
+    procs, outs = _run_children(
+        script, [["2", "0", str(port)], ["2", "1", str(port)]],
+        device_count=2, env_base=os.environ)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"2-proc child {pid} failed:\n{out}"
+    two = [_metrics_from(o) for o in outs]
+    assert two[0] is not None and two[0] == two[1]
+
+    procs, outs = _run_children(script, [["1", "0", "0"]],
+                                device_count=4, env_base=os.environ)
+    assert procs[0].returncode == 0, f"1-proc run failed:\n{outs[0]}"
+    one = _metrics_from(outs[0])
+
+    assert set(one) == set(two[0])
+    for k in one:
+        assert abs(one[k] - two[0][k]) <= 1e-4 * max(1.0, abs(one[k])), \
+            (k, one[k], two[0][k])
 
 
 def test_two_process_distributed_data_path(tmp_path):

@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import torch

@@ -13,6 +13,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 

@@ -125,7 +125,7 @@ def main():
         tcfg = GeneratorTrainConfig(
             batch_size=B, bf16=bf16,
             split_d_batch=bool(int(os.environ.get("TB_SPLIT_D", "0"))),
-            taps_wgrad=bool(int(os.environ.get("TB_TAPS", "0"))),
+            taps_wgrad=bool(int(os.environ.get("TB_TAPS", "1"))),
             # attribution bisect knobs (composed-graph variants are the only
             # honest way to attribute step time — ROADMAP §4)
             no_vgg_loss=bool(int(os.environ.get("TB_NO_VGG", "0"))),
