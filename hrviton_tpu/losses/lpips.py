@@ -51,7 +51,10 @@ class LPIPSModel(nn.Module):
     spatial: bool = False       # return per-pixel maps instead of averages
 
     @nn.compact
-    def __call__(self, x, y):
+    def __call__(self, x, y, train: bool = False):
+        # train=True enables the NetLinLayer dropout the reference trains the
+        # heads under (networks_basic.py:104-112, use_dropout=True); scoring
+        # callers never pass it, so eval behavior is unchanged.
         backbone_cls, n_taps = _BACKBONES[self.net]
 
         def scaled(v):
@@ -66,6 +69,8 @@ class LPIPSModel(nn.Module):
             dy = _normalize_tensor(fy[i].astype(jnp.float32))
             diff = (dx - dy) ** 2
             if self.lpips:
+                if train:
+                    diff = nn.Dropout(0.5, deterministic=False)(diff)
                 d = Conv2d(1, 1, use_bias=False,
                            kernel_init=kaiming_normal_init(),
                            name=f"lin{i}")(diff)

@@ -33,6 +33,24 @@ from hrviton_tpu.ops.spade_fused import (fused_spade_eligible,
 
 _xavier = xavier_normal_init(0.02)
 
+# Merged gamma+beta modulation conv: one 3x3 conv with the two kernels
+# concatenated on the output axis, split after — exactly equivalent (each
+# output channel sees the same taps) and 1.5x faster IN ISOLATION
+# (conv3x3 128->160 = 19.4 ms vs 2 x (128->80) = 29.9 ms, tools/exp_conv_eff)
+# because it reads the 128-channel `actv` from HBM once instead of twice.
+# But measured SLOWER in the composed pipeline (16.1 vs 17.1 img/s, bench.py
+# r3) — the split outputs lose the per-conv elementwise fusion XLA gives the
+# separate convs, the same in-block-fusion lesson as ops/conv3x3 (ROADMAP §1).
+# Kept as an off-by-default knob; param tree is identical either way.
+import os as _os
+
+_MERGE_GB = bool(int(_os.environ.get("HRVITON_MERGE_GB", "0")))
+
+
+def enable_merge_gamma_beta(on: bool = True) -> None:
+    global _MERGE_GB
+    _MERGE_GB = on
+
 
 class _KernelBias(nn.Module):
     """Declares Conv2d-compatible 'kernel'/'bias' params without the conv."""
@@ -154,14 +172,25 @@ class SPADENorm(nn.Module):
 
         actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
                       name="conv_shared")(seg)
-        # note: merging gamma+beta into one 2*norm_nc conv was measured SLOWER
-        # on v5e (102ms vs 86ms for the 1024x768 block) — keep separate convs.
         # The relu on actv is fused into each consumer conv (pre_act) so the
         # Pallas conv path doesn't force XLA to materialize an extra copy.
-        gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
-                       name="conv_gamma")(actv, pre_act="relu")
-        beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
-                      name="conv_beta")(actv, pre_act="relu")
+        if _MERGE_GB:
+            # one 2*norm_nc conv, kernels concatenated at trace time, outputs
+            # split — exact and param-tree-identical (see module note; slower
+            # composed, kept as a measured-dead-end knob).
+            wg, bg = _RawConv(self.norm_nc, 3, _xavier,
+                              name="conv_gamma")(self.nhidden)
+            wb, bb = _RawConv(self.norm_nc, 3, _xavier,
+                              name="conv_beta")(self.nhidden)
+            gb = conv3x3(actv, jnp.concatenate([wg, wb], axis=-1),
+                         jnp.concatenate([bg, bb]), pre_act="relu")
+            gamma = gb[..., :self.norm_nc]
+            beta = gb[..., self.norm_nc:]
+        else:
+            gamma = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                           name="conv_gamma")(actv, pre_act="relu")
+            beta = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                          name="conv_beta")(actv, pre_act="relu")
         return normalized * (1.0 + gamma) + beta
 
 

@@ -143,3 +143,36 @@ def test_spade_block_fused_equivalence():
         fused = run()
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_spade_norm_merged_gamma_beta_equivalence():
+    """SPADENorm with HRVITON_MERGE_GB on == off, on the SAME param tree.
+
+    The merged path runs conv_gamma/conv_beta as one output-concatenated 3x3
+    conv (models/spade.py) — measured slower composed (kept as a knob), but it
+    must stay exactly equivalent and checkpoint-compatible.
+    """
+    from hrviton_tpu.models import spade as spade_mod
+    from hrviton_tpu.models.spade import SPADENorm
+
+    m = SPADENorm(8, 7)
+    x = _arr((2, 16, 16, 8))
+    seg = _arr((2, 16, 16, 7))
+    keys = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    v = m.init(keys, x, seg, train=False)
+    spade_mod.enable_merge_gamma_beta(True)
+    try:
+        v_merged = m.init(keys, x, seg, train=False)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v_merged))
+        for a, b_ in zip(jax.tree_util.tree_leaves(v),
+                         jax.tree_util.tree_leaves(v_merged)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        merged = m.apply(v, x, seg, train=False,
+                         rngs={"noise": jax.random.PRNGKey(2)})
+    finally:
+        spade_mod.enable_merge_gamma_beta(False)
+    base = m.apply(v, x, seg, train=False,
+                   rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(base),
+                               atol=1e-5, rtol=1e-5)

@@ -173,6 +173,22 @@ def main():
         print(f"stage2 train_step bf16={bf16}: {dt * 1e3:.0f} ms/step "
               f"({B / dt:.2f} img/s) -> 200k steps = "
               f"{dt * 200000 / 3600:.1f} h on ONE v5e chip", flush=True)
+        if int(os.environ.get("TB_JSON", "0")):
+            import json
+            # reference baseline: ~4 days for 100k+100k steps, batch 4, fp16,
+            # 2x RTX 3090 (/root/reference/README.md:71-73) -> 96 h wall
+            ref_hours = 96.0
+            ours_hours = dt * 200000 / 3600
+            print(json.dumps({
+                "metric": "stage2_train_step_1024x768",
+                "value": round(dt * 1e3, 1), "unit": "ms/step",
+                "batch_per_chip": B, "bf16": bf16,
+                "imgs_per_sec_per_chip": round(B / dt, 3),
+                "hours_200k_steps_one_chip": round(ours_hours, 1),
+                "vs_baseline": round(ref_hours / ours_hours, 3),
+                "baseline": "96h for 200k steps b4 fp16 on 2x RTX 3090 "
+                            "(reference README.md:71-73)",
+            }), flush=True)
 
 
 if __name__ == "__main__":
