@@ -291,11 +291,17 @@ class SPADEGenerator(nn.Module):
 
         def seg_for(ref):
             """seg at ref's spatial scale: one-hot of the strided label
-            slice (labels form), or the full map for the blocks' own
-            nearest resize (one-hot form)."""
-            if labels is None:
-                return seg
+            slice (labels form), or a nearest resize of the one-hot form.
+
+            Always scale-correct: the plain blocks' internal resize
+            (SPADEResBlock, models/spade.py:226) then no-ops, and the s2d
+            callers below — which require caller-resized seg — get the
+            right grid (regression test: tests/test_s2d.py:84)."""
             th, tw = ref.shape[1], ref.shape[2]
+            if labels is None:
+                if seg.shape[1:3] == (th, tw):
+                    return seg
+                return interpolate(seg, size=(th, tw), mode="nearest")
             lh, lw = labels.shape[1], labels.shape[2]
             if lh % th or lw % tw:   # non-integer ratio: fall back via take
                 lab = interpolate(labels[..., None].astype(jnp.float32),
