@@ -62,6 +62,12 @@ def add_data_flags(p: argparse.ArgumentParser, *, dataroot="./data/zalando-hd-re
     p.add_argument("-b", "--batch-size", dest="batch_size", type=int,
                    default=batch_size)
     p.add_argument("-j", "--workers", type=int, default=4)
+    p.add_argument("--worker_processes", action="store_true",
+                   help="decode samples in --workers spawned processes "
+                        "instead of a thread pool — the reference's torch "
+                        "DataLoader num_workers semantics "
+                        "(cp_dataset.py:412); true parallelism for the "
+                        "GIL-bound PIL decode path on multi-core hosts")
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--semantic_nc", type=int, default=13)
     # TPU-native wire format (data/device.py): the hot training loader ships

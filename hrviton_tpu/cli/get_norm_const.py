@@ -92,7 +92,8 @@ def main(argv=None):
 
     ds = VitonHDDataset(data_cfg_from_args(opt), mode="train")
     loader = Loader(ds, opt.batch_size, shuffle=False, drop_last=False,
-                    num_workers=opt.workers)
+                    num_workers=opt.workers,
+                    worker_processes=opt.worker_processes)
     length = len(ds) if opt.max_samples == 0 else min(opt.max_samples, len(ds))
 
     real_logits, fake_logits = [], []

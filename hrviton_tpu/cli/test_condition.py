@@ -101,7 +101,8 @@ def main(argv=None):
 
     ds = VitonHDDataset(data_cfg_from_args(opt), mode="test")
     loader = Loader(ds, opt.batch_size, shuffle=False, drop_last=False,
-                    num_workers=opt.workers)
+                    num_workers=opt.workers,
+                    worker_processes=opt.worker_processes)
     ckname = opt.tocg_checkpoint.split("/")[-2:] if opt.tocg_checkpoint else ["x", "y"]
     out_dir = os.path.join(opt.output_dir, *ckname, opt.datamode,
                            opt.datasetting, "multi-task")

@@ -118,7 +118,8 @@ def main(argv=None):
     ds = VitonHDDataset(data_cfg_from_args(opt), mode="test_gen",
                         compact=compact)
     loader = Loader(ds, opt.batch_size, shuffle=False, drop_last=False,
-                    num_workers=opt.workers)
+                    num_workers=opt.workers,
+                    worker_processes=opt.worker_processes)
     import functools
     expand = jax.jit(functools.partial(expand_compact,
                                        semantic_nc=opt.semantic_nc))

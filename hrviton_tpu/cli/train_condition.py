@@ -125,7 +125,8 @@ def main(argv=None):
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
                           num_workers=opt.workers, seed=opt.seed,
                           process_id=jax.process_index(),
-                          num_processes=jax.process_count())
+                          num_processes=jax.process_count(),
+                          worker_processes=opt.worker_processes)
     val_loader = test_loader = None
     if not opt.no_test_visualize:
         import dataclasses

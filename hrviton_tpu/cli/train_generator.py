@@ -69,6 +69,12 @@ def get_opt(argv=None):
     p.add_argument("--decay_step", type=int, default=100000)
     p.add_argument("--lpips_count", type=int, default=1000)
     p.add_argument("--lpips_samples", type=int, default=500)
+    p.add_argument("--lpips_batch", type=int, default=10,
+                   help="batch size for the in-train LPIPS validation pass. "
+                        "The metric is a mean of per-image distances, so "
+                        "batching is exact; the reference's batch-1 loop "
+                        "(train_generator.py:480-584) costs ~500 sequential "
+                        "dispatches per tick")
     p.add_argument("--test_datasetting", default="paired")
     p.add_argument("--test_dataroot", default="./data/")
     p.add_argument("--test_data_list", default="test_pairs.txt")
@@ -187,14 +193,25 @@ def main(argv=None):
     train_loader = Loader(train_ds, opt.batch_size, shuffle=True,
                           num_workers=opt.workers, seed=opt.seed,
                           process_id=jax.process_index(),
-                          num_processes=jax.process_count())
+                          num_processes=jax.process_count(),
+                          worker_processes=opt.worker_processes)
     import dataclasses
     test_cfg = dataclasses.replace(
         data_cfg_from_args(opt, mode="test", data_list=opt.test_data_list),
         dataroot=opt.test_dataroot)
     test_ds = VitonHDDataset(test_cfg, mode="test_gen")
-    test_loader = Loader(test_ds, 1, shuffle=False, num_workers=opt.workers,
-                         indices=range(min(opt.lpips_samples, len(test_ds))))
+    # batched LPIPS validation: mean of per-image distances is exact under
+    # batching (equal-size batches), so one tick is lpips_samples/lpips_batch
+    # jit dispatches instead of the reference's 500 (train_generator.py:480)
+    n_eval = min(opt.lpips_samples, len(test_ds))
+    lpips_batch = max(1, min(opt.lpips_batch, n_eval))
+    lpips_iters = max(1, n_eval // lpips_batch)
+    if lpips_iters * lpips_batch != n_eval:
+        print(f"note: lpips_batch={lpips_batch} does not divide "
+              f"{n_eval} eval samples; scoring {lpips_iters * lpips_batch}")
+    test_loader = Loader(test_ds, lpips_batch, shuffle=False,
+                         num_workers=opt.workers,
+                         indices=range(lpips_iters * lpips_batch))
     # unpaired visualization loader (train_generator.py:618-624: batch_size is
     # forced to num_test_visualize, shuffled test split)
     vis_loader = Loader(test_ds, min(opt.num_test_visualize, len(test_ds)),
@@ -286,7 +303,7 @@ def main(argv=None):
                                         nrow=4), step + 1)
             if (step + 1) % tcfg.lpips_count == 0:
                 dists = []
-                for _ in range(opt.lpips_samples):
+                for _ in range(lpips_iters):
                     tb = put(test_loader.next_batch())
                     rng, sub = jax.random.split(rng)
                     out = trainer.generate(state, tb, sub,
