@@ -90,6 +90,33 @@ def _nearest_axis(x, out_size: int, axis: int):
                     axis=axis)
 
 
+def _linear_axis_fast(xf, out_size: int, axis: int):
+    """Integer-ratio linear DOWNSCALE of one axis, align_corners=False, f32.
+
+    Exactly the 2-tap math of the torch resize matrix (same float32 lambda,
+    same sources: src_i = (i+0.5)k - 0.5, never out of range for k >= 2)
+    as a two-strided-slice lerp XLA fuses into neighbours, instead of an
+    f32 HIGHEST matmul. Upscales are NOT worth the analogous phase
+    interleave: the shift/concat/stack chain materializes more copies than
+    the matmul reads (measured composed 16.19 vs 17.0 img/s, round 4).
+    Returns None when the ratio is not integer.
+    """
+    in_size = xf.shape[axis]
+    if in_size % out_size or in_size == out_size:
+        return None
+    sl = lambda a, b, st: tuple(
+        slice(a, b, st) if i == axis else slice(None) for i in range(xf.ndim))
+    k = in_size // out_size
+    src0 = np.float64(k) / 2.0 - 0.5                  # src of out 0 (>= 0)
+    off = int(np.floor(src0))
+    lam = np.float32(src0 - off)
+    a = xf[sl(off, off + k * out_size, k)]
+    if lam == 0:
+        return a
+    b = xf[sl(off + 1, off + 1 + k * out_size, k)]
+    return a * np.float32(1.0 - np.float64(lam)) + b * lam
+
+
 def interpolate(x, size=None, scale_factor=None, mode: str = "bilinear",
                 align_corners: bool = False):
     """NHWC resize with torch ``F.interpolate`` semantics.
@@ -118,18 +145,47 @@ def interpolate(x, size=None, scale_factor=None, mode: str = "bilinear",
         raise ValueError(f"unsupported mode {mode!r}")
 
     dtype = x.dtype
-    rh = jnp.asarray(_linear_matrix(h, out_h, align_corners), dtype=jnp.float32)
-    rw = jnp.asarray(_linear_matrix(w, out_w, align_corners), dtype=jnp.float32)
-    y = x.astype(jnp.float32)
-    # HIGHEST precision: resize matrices are near-sparse (2 taps/row); the MXU's
-    # default bf16 passes would cost torch parity for negligible FLOP savings.
+    # bf16 inputs with exactly-bf16-representable resize weights (all
+    # power-of-two ratios: lam is a multiple of 1/2k) take DEFAULT-precision
+    # bf16 einsums: bf16 x bf16 -> f32 MXU accumulation is bit-equal to the
+    # f32 HIGHEST product of the same bf16 inputs, at 1/3-1/6 the MXU passes
+    # and no f32 materialization of the big resized tensors (the condition
+    # stage carried 135 GB of logical traffic from these,
+    # tools/exp_roofline.py round 4).
+    def matrix(in_size, out_size):
+        m = _linear_matrix(in_size, out_size, align_corners)
+        cheap = (dtype == jnp.bfloat16
+                 and np.all(m == m.astype(np.float32).astype(jnp.bfloat16)
+                            .astype(np.float32)))
+        if cheap:
+            return jnp.asarray(m, dtype=jnp.bfloat16), None
+        return (jnp.asarray(m, dtype=jnp.float32),
+                jax.lax.Precision.HIGHEST)
+
+    y = x
     if out_h != h:
-        y = jnp.einsum("oh,nhwc->nowc", rh, y, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+        fast = None
+        if not align_corners and h % out_h == 0:   # strided-slice downscale
+            fast = _linear_axis_fast(y.astype(jnp.float32), out_h, 1)
+        if fast is not None:
+            y = fast.astype(dtype)
+        else:
+            rh, prec = matrix(h, out_h)
+            yin = y if prec is None else y.astype(jnp.float32)
+            y = jnp.einsum("oh,nhwc->nowc", rh, yin, precision=prec,
+                           preferred_element_type=jnp.float32).astype(dtype)
     if out_w != w:
-        y = jnp.einsum("ow,nhwc->nhoc", rw, y, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    return y.astype(dtype)
+        fast = None
+        if not align_corners and w % out_w == 0:
+            fast = _linear_axis_fast(y.astype(jnp.float32), out_w, 2)
+        if fast is not None:
+            y = fast.astype(dtype)
+        else:
+            rw, prec = matrix(w, out_w)
+            yin = y if prec is None else y.astype(jnp.float32)
+            y = jnp.einsum("ow,nhwc->nhoc", rw, yin, precision=prec,
+                           preferred_element_type=jnp.float32).astype(dtype)
+    return y
 
 
 def resize_flow(flow, size, mode: str = "bilinear"):
