@@ -44,6 +44,19 @@ class SPADEGenConfig:
                                   # in the space-to-depth domain (ops/s2d.py):
                                   # exact math, 128-lane-aligned channels.
                                   # 'most' only; ignored otherwise.
+    fused_block: bool = False     # fuse each SPADE block's {norm -> act ->
+                                  # conv} pairs into single Pallas passes
+                                  # (ops/spade_block.py) at eligible scales.
+                                  # Exact math, identical param tree/RNG.
+    # Measured-dead-end experiment knobs, owned here so no hidden trace-time
+    # state decides the compiled graph (context managers in ops/ remain for
+    # A/B scripts). All exact-math; all measured SLOWER composed (ROADMAP §1):
+    fast_conv: bool = False       # Pallas 3x3 convs (ops/conv3x3.py) — wins
+                                  # isolated, loses block fusion
+    fast_spade: bool = False      # fused SPADE-norm Pallas kernel
+                                  # (ops/spade_fused.py) — 15.7 vs 17.2 img/s
+    merge_gamma_beta: bool = False  # one 2C-out modulation conv per norm —
+                                  # 16.1 vs 17.1 img/s composed
 
     @property
     def num_up_layers(self) -> int:

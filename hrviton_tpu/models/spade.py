@@ -41,15 +41,27 @@ _xavier = xavier_normal_init(0.02)
 # But measured SLOWER in the composed pipeline (16.1 vs 17.1 img/s, bench.py
 # r3) — the split outputs lose the per-conv elementwise fusion XLA gives the
 # separate convs, the same in-block-fusion lesson as ops/conv3x3 (ROADMAP §1).
-# Kept as an off-by-default knob; param tree is identical either way.
-import os as _os
+# Kept as an off-by-default knob (SPADEGenConfig.merge_gamma_beta, or this
+# experiment switch); param tree is identical either way.
+import contextlib as _contextlib
 
-_MERGE_GB = bool(int(_os.environ.get("HRVITON_MERGE_GB", "0")))
+_MERGE_GB = False
 
 
 def enable_merge_gamma_beta(on: bool = True) -> None:
     global _MERGE_GB
     _MERGE_GB = on
+
+
+@_contextlib.contextmanager
+def merge_gamma_beta(on: bool = True):
+    global _MERGE_GB
+    prev = _MERGE_GB
+    _MERGE_GB = bool(on)
+    try:
+        yield
+    finally:
+        _MERGE_GB = prev
 
 
 class _KernelBias(nn.Module):
@@ -115,11 +127,34 @@ class SPADENorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, seg, misalign_mask=None, train: bool = True,
-                 s2d: bool = False):
+                 s2d: bool = False, raw: bool = False):
         b, h, w, _ = x.shape
         noise_scale = self.param("noise_scale", nn.initializers.zeros,
                                  (self.norm_nc,), jnp.float32)
         kind = self.norm_type[len("alias"):]
+        if raw:
+            # Piece-extraction mode for the fused block unit
+            # (ops/spade_block.py): returns (xn, pre-relu actv, gamma/beta
+            # weights) so the caller can fuse {normalize, modulate, consumer
+            # conv} into one kernel. Identical params, identical 'noise'
+            # RNG stream (same module path), identical xn math. x may
+            # arrive lane-padded (zero pad); noise_scale pads with zeros so
+            # padded xn lanes stay zero.
+            if kind != "instance":
+                raise NotImplementedError("raw SPADENorm: instance only")
+            noise1 = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
+                                       dtype=jnp.float32)
+            nsc = noise_scale
+            if x.shape[-1] != self.norm_nc:
+                nsc = jnp.pad(nsc, (0, x.shape[-1] - self.norm_nc))
+            xn = x + (noise1 * nsc).astype(x.dtype)
+            actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
+                          name="conv_shared")(seg.astype(x.dtype))
+            wg, bg = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                            name="conv_gamma")(actv, raw=True)
+            wb, bb = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
+                            name="conv_beta")(actv, raw=True)
+            return xn, actv, wg, bg, wb, bb
         if s2d:
             # x/seg are space-to-depth tensors (ops/s2d.py); identical math
             # and parameter tree, 128-lane-aligned channel counts. The noise
@@ -202,6 +237,8 @@ class SPADEResBlock(nn.Module):
     norm_g: str = "spectralaliasinstance"
     gen_semantic_nc: int = 7
     use_mask_norm: bool = False
+    fused: bool = False   # fuse each {SPADENorm -> act -> conv} pair into
+                          # one Pallas pass when eligible (ops/spade_block.py)
 
     @nn.compact
     def __call__(self, x, seg, misalign_mask=None, train: bool = True,
@@ -244,6 +281,49 @@ class SPADEResBlock(nn.Module):
                            s2d=s2d)
             return mod(h, pre_act=pre_act, s2d=s2d)
 
+        from hrviton_tpu.ops.spade_block import (fused_spade_conv_eligible,
+                                                 pad_lanes, spade_conv_unit,
+                                                 unpad_lanes)
+        if (self.fused and not s2d and subnorm == "aliasinstance"
+                and misalign_mask is None
+                and fused_spade_conv_eligible(x.shape[1], x.shape[2],
+                                              128, x.dtype)):
+            # Fused block: each {SPADENorm, conv} pair runs as one Pallas
+            # pass (ops/spade_block.py), erasing the modulate->conv boundary
+            # whose lost XLA fusion made the per-norm kernel a composed
+            # regression (tools/exp_fs_sites.py: the entire 17.0->15.5 img/s
+            # loss sits at up_4's three norm sites). Identical params, RNG
+            # streams, and numerics; module creation order matches the
+            # unfused path so the param tree is byte-identical.
+            def raw_conv(feats, ksize, pad, use_bias, name, in_nc):
+                mod = conv(feats, ksize, pad, use_bias, name)
+                probe = jnp.zeros((1, 1, 1, in_nc), x.dtype)
+                if spectral:
+                    return mod(probe, update_stats=update_sn, raw=True)
+                return mod(probe, raw=True)
+
+            def unit(tag_norm, tag_conv, ksize, use_bias, xin, c_in, c_out,
+                     pre_act, residual=None):
+                xn, actv, wg, bg, wb, bb = norm(c_in, tag_norm)(
+                    xin, seg, None, train, raw=True)
+                wc, bc = raw_conv(c_out, ksize, 1 if ksize == 3 else 0,
+                                  use_bias, tag_conv, c_in)
+                if bc is None:
+                    bc = jnp.zeros((c_out,), jnp.float32)
+                return spade_conv_unit(c_in, pre_act, pad_lanes(xn), actv,
+                                       wg, bg, wb, bb, wc, bc, residual)
+
+            if learned_shortcut:
+                xs = unit("norm_s", "conv_s", 1, False, x, self.input_nc,
+                          self.output_nc, None)
+            else:
+                xs = pad_lanes(x)
+            dx = unit("norm_0", "conv_0", 3, True, x, self.input_nc,
+                      middle_nc, "leaky0.2")
+            out = unit("norm_1", "conv_1", 3, True, dx, middle_nc,
+                       self.output_nc, "leaky0.2", residual=xs)
+            return unpad_lanes(out, self.output_nc)
+
         if learned_shortcut:
             xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train,
                                                s2d=s2d)
@@ -278,6 +358,22 @@ class SPADEGenerator(nn.Module):
         the slice; nearest integer-ratio downsample == stride slice,
         ops/resize.py:64-90) but keeps each consumer chain tiny and fusible.
         """
+        # Config-owned trace-time dispatch knobs (the ops-level context
+        # managers stay available for A/B experiments; config is the source
+        # of truth for real runs). Trace-time is the right scope: remat
+        # replays jaxprs, never re-traces, so the choice sticks.
+        with _contextlib.ExitStack() as stack:
+            if self.cfg.fast_conv:
+                from hrviton_tpu.ops.conv3x3 import fast_conv
+                stack.enter_context(fast_conv(True))
+            if self.cfg.fast_spade:
+                from hrviton_tpu.ops.spade_fused import fast_spade
+                stack.enter_context(fast_spade(True))
+            if self.cfg.merge_gamma_beta:
+                stack.enter_context(merge_gamma_beta(True))
+            return self._forward(x, seg, train, update_sn)
+
+    def _forward(self, x, seg, train: bool, update_sn: bool):
         cfg = self.cfg
         if cfg.num_upsampling_layers not in ("more", "most"):
             raise ValueError(
@@ -349,7 +445,8 @@ class SPADEGenerator(nn.Module):
         def make_block(in_nc, out_nc, name):
             return SPADEResBlock(in_nc, out_nc, norm_g=cfg.norm_g,
                                  gen_semantic_nc=cfg.gen_semantic_nc,
-                                 use_mask_norm=False, name=name)
+                                 use_mask_norm=False,
+                                 fused=cfg.fused_block, name=name)
 
         def block(in_nc, out_nc, name):
             mdl = make_block(in_nc, out_nc, name)

@@ -83,7 +83,8 @@ class _ConvCore(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False):
+    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False,
+                 raw: bool = False):
         kh, kw = self.kernel_size
         # s2d: x is a space-to-depth tensor (4*Cin lanes) but the declared
         # kernel keeps the plain Cin — the param tree is domain-oblivious.
@@ -92,6 +93,11 @@ class _ConvCore(nn.Module):
                             (kh, kw, in_ch, self.features), jnp.float32)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
+        if raw:
+            # weight-extraction mode for externally-fused consumers
+            # (ops/spade_block.py): x supplies only in_ch/dtype; the param
+            # tree is identical to the applying path.
+            return kernel, bias
         dtype = x.dtype if self.dtype is None else self.dtype
         x = x.astype(dtype)
         if s2d:
@@ -136,7 +142,8 @@ class Conv2d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False):
+    def __call__(self, x, pre_act: Optional[str] = None, s2d: bool = False,
+                 raw: bool = False):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
@@ -150,7 +157,7 @@ class Conv2d(nn.Module):
             bias_init=self.bias_init,
             dtype=self.dtype,
             name="conv",
-        )(x, pre_act=pre_act, s2d=s2d)
+        )(x, pre_act=pre_act, s2d=s2d, raw=raw)
 
 
 class BatchNorm2d(nn.Module):
@@ -230,7 +237,8 @@ class SpectralNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_stats: bool = False,
-                 pre_act: Optional[str] = None, s2d: bool = False):
+                 pre_act: Optional[str] = None, s2d: bool = False,
+                 raw: bool = False):
         k = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 2
         s = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 2
         p = self.padding if isinstance(self.padding, tuple) else (self.padding,) * 2
@@ -270,6 +278,11 @@ class SpectralNorm2d(nn.Module):
             x.dtype if self.dtype is None else self.dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            jnp.float32) if self.use_bias else None)
+        if raw:
+            # weight-extraction mode (see _ConvCore): returns the
+            # spectrally-normalized kernel; power-iteration bookkeeping
+            # (update_stats) behaves exactly as in the applying path.
+            return w_sn, bias
 
         if s2d:
             if pre_act is not None:

@@ -55,15 +55,23 @@ from hrviton_tpu.ops.conv3x3 import _roll_cols
 __all__ = ["fused_spade_modulate", "fused_spade_eligible",
            "enable_fast_spade", "fast_spade_enabled", "fast_spade"]
 
-_TH = int(os.environ.get("HRVITON_SPADE_TH", "16"))
+_TH = 16
 # rows per grid step. The compiler's default 16M scoped-VMEM cap is far below
 # the chip's physical VMEM; the pallas_call raises it (vmem_limit_bytes) and
 # a taller tile amortizes per-grid-step overhead, which dominated at TH=4
 # (1024 steps for a b4 1024x768 norm measured the same 20.5 ms as TH=8's
-# 512 — the MXU/VPU work is only ~7 ms of it).
+# 512 — the MXU/VPU work is only ~7 ms of it). Tests/experiments with tiny
+# shapes retune via set_tile_rows().
 _ENABLED = False
+_MIN_H = 256
 _INTERPRET = bool(int(os.environ.get("HRVITON_PALLAS_INTERPRET", "0")))
 _EPS = 1e-5
+
+
+def set_tile_rows(th: int) -> None:
+    """Retune the kernel's rows-per-grid-step (tests/experiments only)."""
+    global _TH
+    _TH = int(th)
 
 
 def enable_fast_spade(on: bool = True) -> None:
@@ -116,7 +124,9 @@ def fused_spade_eligible(x_shape, nhidden: int, dtype) -> bool:
     if vmem > 60 * 2 ** 20:    # vmem_limit_bytes=100M; stay well inside
         return False
     # Below ~256x192 XLA's fusion wins (same crossover as ops/conv3x3.py).
-    return h >= 256 and w >= 96
+    # _MIN_H is a module constant experiments may raise to restrict dispatch
+    # to specific pyramid scales (e.g. 1024 -> up_4's norms only).
+    return h >= _MIN_H and w >= 96
 
 
 def _kernel(actv_hbm, x_ref, noise_ref, nsc_ref, mu_ref, rsig_ref,

@@ -9,7 +9,6 @@ identity that keeps checkpoints/converters oblivious, and the custom VJP.
 import os
 
 os.environ["HRVITON_PALLAS_INTERPRET"] = "1"
-os.environ.setdefault("HRVITON_SPADE_TH", "4")   # test shapes are small
 
 import importlib
 
