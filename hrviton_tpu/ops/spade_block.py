@@ -57,6 +57,7 @@ __all__ = ["fused_spade_conv", "spade_conv_ref", "spade_conv_unit",
 
 _TH = 8
 _MIN_H = 256     # experiments may raise to restrict dispatch to one scale
+_PIPELINED = True   # 3x3 consumers use the software-pipelined kernel
 _INTERPRET = bool(int(os.environ.get("HRVITON_PALLAS_INTERPRET", "0")))
 _EPS = 1e-5
 _LANE = 128
@@ -253,6 +254,165 @@ def _kernel(xn_hbm, actv_hbm, mu_ref, rsig_ref, wgb_ref, bgb_ref,
     o_ref[0] = out
 
 
+def _pipe_lag(ksize: int) -> int:
+    """Pipeline depth: the 3x3 consumer needs bands j-1..j+1 resident
+    (lag 2, ring 4); the 1x1 consumer needs only band j (lag 1, ring 2)."""
+    return 2 if ksize == 3 else 1
+
+
+def _kernel_pipe(xn_hbm, actv_hbm, mu_ref, rsig_ref, wgb_ref, bgb_ref,
+                 wc_ref, bc_ref, res_ref, o_ref, xt, at, ring, sem,
+                 *, ksize, pre_act, has_res):
+    """Software-pipelined variant: the PRODUCER stage (gamma|beta dots +
+    modulate) fills band i of a VMEM ring while the CONSUMER stage (the
+    conv) drains block j = i - lag, whose input bands were all written
+    >= 1 step ago — the two stages share no data within a step, so
+    Mosaic's scheduler can interleave one stage's MXU dots with the
+    other's VPU rolls/epilogues. _kernel (v1) serializes gb -> modulate ->
+    conv inside each step and measured ~2x its MXU floor (26.6 vs 20.5 ms
+    pipelined at up_4 n0, tools/exp_spade_block.py round 4).
+
+    Bands are TH-row ALIGNED (no xn halo: the 3x3 conv's +-1 rows come
+    from neighbouring ring slots); grid dim 1 runs n_i + lag steps.
+    Off-image rows (the conv's zero padding) are handled by zeroing one
+    ring row before each edge consumer step.
+    """
+    lag = _pipe_lag(ksize)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    th = o_ref.shape[1]
+    wv = o_ref.shape[2]
+    n_i = pl.num_programs(1) - lag
+    ns = ring.shape[0]
+    dtype = o_ref.dtype
+    cp = ring.shape[-1]
+    ngb = wgb_ref.shape[-1]
+    ctrue = ngb // 2
+    col = lax.broadcasted_iota(jnp.int32, (1, wv, 1), 1)
+    nh = at.shape[-1]
+
+    def fetch(slot, idx, start):
+        @pl.when(idx < n_i)
+        def _():
+            cx = pltpu.make_async_copy(xn_hbm.at[b, pl.ds(idx * th, th)],
+                                       xt.at[slot], sem.at[0, slot])
+            cx.start() if start else cx.wait()
+
+        # actv band [idx*th - 1, (idx+1)*th + 1), edge-clamped
+        @pl.when(jnp.logical_and(idx > 0, idx < n_i - 1))
+        def _():
+            ca = pltpu.make_async_copy(
+                actv_hbm.at[b, pl.ds(idx * th - 1, th + 2)],
+                at.at[slot], sem.at[1, slot])
+            ca.start() if start else ca.wait()
+
+        @pl.when(idx == 0)
+        def _():
+            ca = pltpu.make_async_copy(
+                actv_hbm.at[b, pl.ds(0, th + 1)],
+                at.at[slot, pl.ds(1, th + 1)], sem.at[1, slot])
+            ca.start() if start else ca.wait()
+
+        @pl.when(jnp.logical_and(idx == n_i - 1, idx > 0))
+        def _():
+            ca = pltpu.make_async_copy(
+                actv_hbm.at[b, pl.ds(idx * th - 1, th + 1)],
+                at.at[slot, pl.ds(0, th + 1)], sem.at[1, slot])
+            ca.start() if start else ca.wait()
+
+    @pl.when(i == 0)
+    def _():
+        fetch(0, 0, True)
+        if ksize == 3:
+            # mod row -1 (zero padding) for the j=0 consumer's ky=0 band:
+            # slot ns-1 is not produced until band ns-1 at step ns-1 > lag
+            ring[ns - 1, th - 1] = jnp.zeros((wv, cp), dtype)
+
+    @pl.when(jnp.logical_and(i + 1 < n_i, True))
+    def _():
+        fetch((i + 1) % 2, i + 1, True)
+
+    # ---------------------------------------------------------- producer --
+    @pl.when(i < n_i)
+    def _():
+        slot = i % 2
+        fetch(slot, i, False)
+
+        @pl.when(i == 0)
+        def _():
+            at[slot, 0] = jnp.zeros((wv, nh), at.dtype)
+
+        @pl.when(i == n_i - 1)
+        def _():
+            at[slot, th + 1] = jnp.zeros((wv, nh), at.dtype)
+
+        rows3a = jnp.concatenate(
+            [jax.nn.relu(at[pl.ds(slot, 1), ky:ky + th][0])
+             for ky in range(3)], axis=-1)                 # (TH, W, 3NH)
+        gb = jnp.zeros((th, wv, ngb), jnp.float32)
+        for kx in range(3):
+            p = lax.dot_general(rows3a, wgb_ref[kx],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            gb = gb + _roll_cols(p, kx, wv, col)
+        gbd = gb.astype(dtype) + bgb_ref[0, 0].astype(dtype)
+        gamma = gbd[..., :ctrue]
+        beta = gbd[..., ctrue:2 * ctrue]
+        if ctrue != cp:
+            gamma = jnp.pad(gamma, ((0, 0), (0, 0), (0, cp - ctrue)))
+            beta = jnp.pad(beta, ((0, 0), (0, 0), (0, cp - ctrue)))
+        xb = xt[pl.ds(i % 2, 1)][0]                        # (TH, W, CP)
+        normalized = ((xb.astype(jnp.float32) - mu_ref[0]) *
+                      rsig_ref[0]).astype(dtype)
+        ring[i % ns] = normalized * (1.0 + gamma) + beta
+
+    if ksize == 3:
+        # last consumer's ky=2 band tail: mod row H (zero padding). Slot
+        # n_i%ns holds dead band n_i-ns (all its consumers have run).
+        @pl.when(i == n_i + lag - 1)
+        def _():
+            ring[n_i % ns, 0] = jnp.zeros((wv, cp), dtype)
+
+    # ---------------------------------------------------------- consumer --
+    @pl.when(i >= lag)
+    def _():
+        j = i - lag
+        jj = j % ns
+        if ksize == 3:
+            jm1 = (j - 1) % ns
+            jp1 = (j + 1) % ns
+            band0 = jnp.concatenate([ring[pl.ds(jm1, 1), th - 1:th][0],
+                                     ring[pl.ds(jj, 1), 0:th - 1][0]],
+                                    axis=0)
+            band1 = ring[pl.ds(jj, 1)][0]
+            band2 = jnp.concatenate([ring[pl.ds(jj, 1), 1:th][0],
+                                     ring[pl.ds(jp1, 1), 0:1][0]], axis=0)
+            rows3m = jnp.concatenate(
+                [_act(bd, pre_act) for bd in (band0, band1, band2)],
+                axis=-1)                                   # (TH, W, 3CP)
+            cout = wc_ref.shape[-1] // 3
+            p = lax.dot_general(rows3m, wc_ref[0],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            acc = jnp.zeros((th, wv, cout), jnp.float32)
+            for kx in range(3):
+                acc = acc + _roll_cols(p[..., kx * cout:(kx + 1) * cout],
+                                       kx, wv, col)
+        else:
+            cout = wc_ref.shape[-1]
+            rows = _act(ring[pl.ds(jj, 1)][0], pre_act)
+            acc = lax.dot_general(rows, wc_ref[0],
+                                  dimension_numbers=(((2,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out = acc.astype(dtype) + bc_ref[0].astype(dtype)
+        cop = o_ref.shape[-1]
+        if cout != cop:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, cop - cout)))
+        if has_res:
+            out = out + res_ref[0]
+        o_ref[0] = out
+
+
 def fused_spade_conv(xn_pad, mu, rsig, actv, wg, bg, wb, bb, wc, bc,
                      *, c: int, pre_act=None, residual=None):
     """Fused SPADE-norm + consumer conv unit (see module docstring).
@@ -301,13 +461,55 @@ def fused_spade_conv(xn_pad, mu, rsig, actv, wg, bg, wb, bb, wc, bc,
 
     has_res = residual is not None
     res = residual if has_res else jnp.zeros((1, 1, 1, 1), xn_pad.dtype)
+
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cop), xn_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_INTERPRET,
+    )
+    args = (xn_pad, actv, mu.reshape(n, 1, cpad), rsig.reshape(n, 1, cpad),
+            wgb, bgb.reshape(1, 1, 2 * c), wck, bck, res)
+
+    if _PIPELINED:
+        n_i = h // _TH
+        lag = _pipe_lag(ksize)
+        lagged = lambda b, i: (b, jnp.clip(i - lag, 0, n_i - 1), 0, 0)
+        res_spec = (pl.BlockSpec((1, _TH, w, cop), lagged) if has_res
+                    else pl.BlockSpec((1, 1, 1, 1),
+                                      lambda b, i: (0, 0, 0, 0)))
+        return pl.pallas_call(
+            partial(_kernel_pipe, ksize=ksize, pre_act=pre_act,
+                    has_res=has_res),
+            grid=(n, n_i + lag),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),                  # xn_pad
+                pl.BlockSpec(memory_space=pl.ANY),                  # actv
+                pl.BlockSpec((1, 1, cpad), lambda b, i: (b, 0, 0)),  # mu
+                pl.BlockSpec((1, 1, cpad), lambda b, i: (b, 0, 0)),  # rsig
+                pl.BlockSpec((3, 3 * nh, 2 * c), lambda b, i: (0, 0, 0)),
+                pl.BlockSpec((1, 1, 2 * c), lambda b, i: (0, 0, 0)),  # bgb
+                pl.BlockSpec(wck.shape, lambda b, i: (0,) * 3),     # wc
+                pl.BlockSpec((1, cout), lambda b, i: (0, 0)),       # bc
+                res_spec,
+            ],
+            out_specs=pl.BlockSpec((1, _TH, w, cop), lagged,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _TH, w, cpad), xn_pad.dtype),        # xt
+                pltpu.VMEM((2, _TH + 2, w, nh), xn_pad.dtype),      # at
+                pltpu.VMEM((lag + 2 if ksize == 3 else 2,
+                            _TH, w, cpad), xn_pad.dtype),           # ring
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            **common,
+        )(*args)
+
     res_spec = (pl.BlockSpec((1, _TH, w, cop), lambda b, i: (b, i, 0, 0))
                 if has_res
                 else pl.BlockSpec((1, 1, 1, 1), lambda b, i: (0, 0, 0, 0)))
-
     return pl.pallas_call(
         partial(_kernel, ksize=ksize, pre_act=pre_act, has_res=has_res),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, cop), xn_pad.dtype),
         grid=(n, h // _TH),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # xn_pad
@@ -328,11 +530,8 @@ def fused_spade_conv(xn_pad, mu, rsig, actv, wg, bg, wb, bb, wc, bc,
             pltpu.VMEM((_TH + 2, w, cpad), xn_pad.dtype),       # mref
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-        interpret=_INTERPRET,
-    )(xn_pad, actv, mu.reshape(n, 1, cpad), rsig.reshape(n, 1, cpad),
-      wgb, bgb.reshape(1, 1, 2 * c), wck, bck, res)
+        **common,
+    )(*args)
 
 
 def spade_conv_stats(xn, c: int):

@@ -56,9 +56,11 @@ def _run_fused(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
     return out, cout
 
 
+@pytest.mark.parametrize("pipelined", [True, False])
 @pytest.mark.parametrize("ksize,pre_act", [(3, "leaky0.2"), (3, None),
                                            (1, None), (1, "relu")])
-def test_fused_matches_reference(ksize, pre_act):
+def test_fused_matches_reference(ksize, pre_act, pipelined, monkeypatch):
+    monkeypatch.setattr(sb, "_PIPELINED", pipelined)
     args = _inputs(ksize=ksize)
     out, cout = _run_fused(*args, pre_act=pre_act)
     want = sb.spade_conv_ref(*args, pre_act=pre_act)
