@@ -134,27 +134,22 @@ class SPADENorm(nn.Module):
         kind = self.norm_type[len("alias"):]
         if raw:
             # Piece-extraction mode for the fused block unit
-            # (ops/spade_block.py): returns (xn, pre-relu actv, gamma/beta
-            # weights) so the caller can fuse {normalize, modulate, consumer
-            # conv} into one kernel. Identical params, identical 'noise'
-            # RNG stream (same module path), identical xn math. x may
-            # arrive lane-padded (zero pad); noise_scale pads with zeros so
-            # padded xn lanes stay zero.
+            # (ops/spade_block.py): returns (noise field, noise_scale,
+            # pre-relu actv, gamma/beta weights) so the caller can fuse
+            # {noise-add, normalize, modulate, consumer conv} into one
+            # kernel. Identical params and 'noise' RNG stream (same module
+            # path); x supplies only shape/dtype.
             if kind != "instance":
                 raise NotImplementedError("raw SPADENorm: instance only")
             noise1 = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
                                        dtype=jnp.float32)
-            nsc = noise_scale
-            if x.shape[-1] != self.norm_nc:
-                nsc = jnp.pad(nsc, (0, x.shape[-1] - self.norm_nc))
-            xn = x + (noise1 * nsc).astype(x.dtype)
             actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
                           name="conv_shared")(seg.astype(x.dtype))
             wg, bg = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
                             name="conv_gamma")(actv, raw=True)
             wb, bb = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
                             name="conv_beta")(actv, raw=True)
-            return xn, actv, wg, bg, wb, bb
+            return noise1, noise_scale, actv, wg, bg, wb, bb
         if s2d:
             # x/seg are space-to-depth tensors (ops/s2d.py); identical math
             # and parameter tree, 128-lane-aligned channel counts. The noise
@@ -282,19 +277,19 @@ class SPADEResBlock(nn.Module):
             return mod(h, pre_act=pre_act, s2d=s2d)
 
         from hrviton_tpu.ops.spade_block import (fused_spade_conv_eligible,
-                                                 pad_lanes, spade_conv_unit,
-                                                 unpad_lanes)
+                                                 spade_conv_unit)
         if (self.fused and not s2d and subnorm == "aliasinstance"
                 and misalign_mask is None
                 and fused_spade_conv_eligible(x.shape[1], x.shape[2],
                                               128, x.dtype)):
-            # Fused block: each {SPADENorm, conv} pair runs as one Pallas
-            # pass (ops/spade_block.py), erasing the modulate->conv boundary
-            # whose lost XLA fusion made the per-norm kernel a composed
-            # regression (tools/exp_fs_sites.py: the entire 17.0->15.5 img/s
-            # loss sits at up_4's three norm sites). Identical params, RNG
-            # streams, and numerics; module creation order matches the
-            # unfused path so the param tree is byte-identical.
+            # Fused block: each {SPADENorm, conv} pair runs as one
+            # software-pipelined Pallas pass (ops/spade_block.py), erasing
+            # the modulate->conv boundary whose lost XLA fusion made the
+            # per-norm kernel a composed regression (tools/exp_fs_sites.py:
+            # the entire 17.0->15.5 img/s loss sat at up_4's three norm
+            # sites). Identical params, RNG streams, and numerics; module
+            # creation order matches the unfused path so the param tree is
+            # byte-identical.
             def raw_conv(feats, ksize, pad, use_bias, name, in_nc):
                 mod = conv(feats, ksize, pad, use_bias, name)
                 probe = jnp.zeros((1, 1, 1, in_nc), x.dtype)
@@ -304,25 +299,20 @@ class SPADEResBlock(nn.Module):
 
             def unit(tag_norm, tag_conv, ksize, use_bias, xin, c_in, c_out,
                      pre_act, residual=None):
-                xn, actv, wg, bg, wb, bb = norm(c_in, tag_norm)(
+                noise1, nsc, actv, wg, bg, wb, bb = norm(c_in, tag_norm)(
                     xin, seg, None, train, raw=True)
                 wc, bc = raw_conv(c_out, ksize, 1 if ksize == 3 else 0,
                                   use_bias, tag_conv, c_in)
-                if bc is None:
-                    bc = jnp.zeros((c_out,), jnp.float32)
-                return spade_conv_unit(c_in, pre_act, pad_lanes(xn), actv,
+                return spade_conv_unit(pre_act, xin, noise1, nsc, actv,
                                        wg, bg, wb, bb, wc, bc, residual)
 
-            if learned_shortcut:
-                xs = unit("norm_s", "conv_s", 1, False, x, self.input_nc,
-                          self.output_nc, None)
-            else:
-                xs = pad_lanes(x)
+            xs = (unit("norm_s", "conv_s", 1, False, x, self.input_nc,
+                       self.output_nc, None)
+                  if learned_shortcut else x)
             dx = unit("norm_0", "conv_0", 3, True, x, self.input_nc,
                       middle_nc, "leaky0.2")
-            out = unit("norm_1", "conv_1", 3, True, dx, middle_nc,
-                       self.output_nc, "leaky0.2", residual=xs)
-            return unpad_lanes(out, self.output_nc)
+            return unit("norm_1", "conv_1", 3, True, dx, middle_nc,
+                        self.output_nc, "leaky0.2", residual=xs)
 
         if learned_shortcut:
             xs = norm(self.input_nc, "norm_s")(x, seg, misalign_mask, train,

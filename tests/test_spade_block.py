@@ -1,8 +1,8 @@
 """Golden tests for the fused {SPADE-norm -> act -> conv} unit kernel
 (ops/spade_block.py), run in Pallas interpret mode on CPU against the XLA
-reference formulation: 3x3 and 1x1 consumers, pre-activations, residual
-fusion, lane-padding invariants, and boundary rows (first/middle/last grid
-steps)."""
+reference formulation: 3x3 and 1x1 consumers (both software-pipelined),
+pre-activations, residual fusion, custom-VJP gradients, and boundary rows
+(first/middle/last grid steps of the producer/consumer pipeline)."""
 
 import os
 
@@ -44,67 +44,89 @@ def _inputs(b=2, h=12, w=128, c=8, cout=16, nh=128, ksize=3):
     return x, noise, nscale, actv, wg, bg, wb, bb, wc, bc
 
 
-def _run_fused(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
-               pre_act=None, residual=None):
-    c = x.shape[-1]
-    cout = wc.shape[-1]
-    xn = sb.pad_lanes(x + (noise * nscale).astype(x.dtype))
-    mu, rsig = sb.spade_conv_stats(xn, c)
-    res = sb.pad_lanes(residual) if residual is not None else None
-    out = sb.fused_spade_conv(xn, mu, rsig, actv, wg, bg, wb, bb, wc, bc,
-                              c=c, pre_act=pre_act, residual=res)
-    return out, cout
-
-
-@pytest.mark.parametrize("pipelined", [True, False])
 @pytest.mark.parametrize("ksize,pre_act", [(3, "leaky0.2"), (3, None),
                                            (1, None), (1, "relu")])
-def test_fused_matches_reference(ksize, pre_act, pipelined, monkeypatch):
-    monkeypatch.setattr(sb, "_PIPELINED", pipelined)
+def test_fused_matches_reference(ksize, pre_act):
     args = _inputs(ksize=ksize)
-    out, cout = _run_fused(*args, pre_act=pre_act)
+    out = sb.spade_conv_unit(pre_act, *args)
     want = sb.spade_conv_ref(*args, pre_act=pre_act)
-    np.testing.assert_allclose(np.asarray(sb.unpad_lanes(out, cout)),
-                               np.asarray(want), atol=1e-4, rtol=1e-4)
-    # lane-padding invariant: pad lanes stay exactly zero
-    assert float(jnp.abs(out[..., cout:]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_fused_residual():
     args = _inputs()
     residual = _arr((2, 12, 128, 16))
-    out, cout = _run_fused(*args, pre_act="leaky0.2", residual=residual)
+    out = sb.spade_conv_unit("leaky0.2", *args, residual)
     want = sb.spade_conv_ref(*args, pre_act="leaky0.2", residual=residual)
-    np.testing.assert_allclose(np.asarray(sb.unpad_lanes(out, cout)),
-                               np.asarray(want), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_fused_no_bias():
     args = list(_inputs(ksize=1))
     args[-1] = None   # bc
-    out, _ = _run_fused(*args)
+    out = sb.spade_conv_unit(None, *args)
     want = sb.spade_conv_ref(*args)
-    np.testing.assert_allclose(np.asarray(sb.unpad_lanes(out, 16)),
-                               np.asarray(want), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
 
 
-def test_fused_boundary_rows_exact():
-    """h = 2*TH exercises the (first, last) grid-step pair with no middle;
-    h = 4*TH covers first/middle/last. Boundary rows carry the conv's
-    zero-padding semantics, the hardest part of the band bookkeeping."""
+@pytest.mark.parametrize("ksize", [3, 1])
+def test_fused_boundary_rows_exact(ksize):
+    """h = 2*TH exercises the shortest pipeline (producers 0..1, consumers
+    lag..); h = 4*TH covers first/middle/last. Boundary rows carry the
+    conv's zero-padding semantics via the ring edge-zeroing steps."""
     for h in (8, 16):
-        args = _inputs(h=h)
-        out, cout = _run_fused(*args, pre_act="leaky0.2")
+        args = _inputs(h=h, ksize=ksize)
+        out = sb.spade_conv_unit("leaky0.2", *args)
         want = sb.spade_conv_ref(*args, pre_act="leaky0.2")
-        np.testing.assert_allclose(np.asarray(sb.unpad_lanes(out, cout)),
-                                   np.asarray(want), atol=1e-4, rtol=1e-4,
-                                   err_msg=f"h={h}")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"h={h} ksize={ksize}")
+
+
+def test_wide_channels():
+    """c=40/cout=24: channel counts away from the lane size (up_4's shape
+    class scaled down; v3 has no lane-padding constraint on C)."""
+    args = _inputs(c=40, cout=24)
+    out = sb.spade_conv_unit("leaky0.2", *args)
+    want = sb.spade_conv_ref(*args, pre_act="leaky0.2")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_bias,with_res", [(True, True), (True, False),
+                                                (False, True)])
+def test_unit_gradients(with_bias, with_res):
+    """custom-VJP gradients == autodiff of the reference formulation, for
+    every (bc, residual) presence combination the block uses."""
+    args = list(_inputs())
+    if not with_bias:
+        args[-1] = None
+    residual = _arr((2, 12, 128, 16)) if with_res else None
+
+    def loss_fused(x, nscale, wg, wc):
+        a = [x, args[1], nscale, args[3], wg, *args[5:8], wc, args[9]]
+        out = sb.spade_conv_unit("leaky0.2", *a, residual)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, nscale, wg, wc):
+        a = [x, args[1], nscale, args[3], wg, *args[5:8], wc, args[9]]
+        out = sb.spade_conv_ref(*a, pre_act="leaky0.2", residual=residual)
+        return jnp.sum(out * out)
+
+    diff_args = (args[0], args[2], args[4], args[8])
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*diff_args)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*diff_args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
 
 
 def test_block_fused_equals_plain():
     """SPADEResBlock(fused=True) == plain path on the SAME param tree and
-    the SAME 'noise' RNG stream (interpret mode), including gradients
-    (the fused unit's custom VJP differentiates the reference formulation)."""
+    the SAME 'noise' RNG stream (interpret mode), including gradients."""
     import jax.tree_util as jtu
 
     from hrviton_tpu.models.spade import SPADEResBlock
@@ -139,13 +161,3 @@ def test_block_fused_equals_plain():
     for p1, p2 in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
                                    atol=5e-3, rtol=5e-3)
-
-
-def test_wide_channels_pad_bucket():
-    """c=80-style: true channels well below the 128 pad (up_4's shape class,
-    scaled down)."""
-    args = _inputs(c=40, cout=24)
-    out, cout = _run_fused(*args, pre_act="leaky0.2")
-    want = sb.spade_conv_ref(*args, pre_act="leaky0.2")
-    np.testing.assert_allclose(np.asarray(sb.unpad_lanes(out, cout)),
-                               np.asarray(want), atol=1e-4, rtol=1e-4)

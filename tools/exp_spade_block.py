@@ -77,12 +77,9 @@ def make_unit(c, cout, nh=128, ksize=3):
 
 
 def fused(x, noise, actv, u, pre_act="leaky0.2", residual=None):
-    c = x.shape[-1]
-    xn = sb.pad_lanes(x + (noise * u["nscale"]).astype(x.dtype))
-    mu, rsig = sb.spade_conv_stats(xn, c)
-    return sb.fused_spade_conv(xn, mu, rsig, actv, u["wg"], u["bg"],
-                               u["wb"], u["bb"], u["wc"], u["bc"],
-                               c=c, pre_act=pre_act, residual=residual)
+    return sb.fused_spade_conv(x, noise, u["nscale"], actv, u["wg"],
+                               u["bg"], u["wb"], u["bb"], u["wc"], u["bc"],
+                               pre_act=pre_act, residual=residual)
 
 
 def ref(x, noise, actv, u, pre_act="leaky0.2"):
@@ -97,8 +94,7 @@ def bench_shape(tag, b, h, w, c, cout, check=False):
     noise = arr(b, h, w, 1, dtype=jnp.float32)
     actv = arr(b, h, w, 128)
     if check:
-        got = sb.unpad_lanes(np.asarray(
-            jax.jit(fused)(x, noise, actv, u)), cout)
+        got = np.asarray(jax.jit(fused)(x, noise, actv, u))
         want = np.asarray(jax.jit(
             lambda *a: ref(*a, u))(x, noise, actv))
         err = np.abs(got.astype(np.float32) - want.astype(np.float32)).max()
@@ -124,27 +120,19 @@ def main():
 
 
 def main_th():
-    """Row-tile sweep + kernel-only timing (xn/stats precomputed as jit
-    args) to split the 33 ms/unit into grid-step overhead vs XLA-side
-    pad/xn/stats glue. Round-1 lesson (ops/spade_fused.py): per-grid-step
-    overhead dominated small tiles — ~26 us/step."""
+    """Row-tile sweep at the up_4 norm_0 unit shape. Round-1 lesson
+    (ops/spade_fused.py): per-grid-step overhead dominated small tiles;
+    for this kernel TH=8 measured best (ROADMAP §0)."""
     u = make_unit(80, 32)
     x = arr(B, 1024, 768, 80)
     noise = arr(B, 1024, 768, 1, dtype=jnp.float32)
     actv = arr(B, 1024, 768, 128)
-    xn = sb.pad_lanes(x + (noise * u["nscale"]).astype(x.dtype))
-    mu, rsig = (jnp.asarray(a) for a in sb.spade_conv_stats(xn, 80))
     for th in (8, 16):
         try:
             sb._TH = th
             bench_shape(f"smoke TH={th}", 1, 64, 128, 80, 32)  # compile smoke
-            timeit(f"up_4 n0 unit TH={th} (incl pad/stats)",
+            timeit(f"up_4 n0 unit TH={th}",
                    lambda a, n_, v: fused(a, n_, v, u), x, noise, actv)
-            timeit(f"up_4 n0 kernel-only TH={th}",
-                   lambda a, m_, r_, v: sb.fused_spade_conv(
-                       a, m_, r_, v, u["wg"], u["bg"], u["wb"], u["bb"],
-                       u["wc"], u["bc"], c=80, pre_act="leaky0.2"),
-                   xn, mu, rsig, actv)
         finally:
             sb._TH = 8
 
