@@ -55,8 +55,9 @@ def main():
     # domain (ops/s2d.py) — exact math, 128-lane-aligned channels.
     gen = SPADEGenerator(SPADEGenConfig(
         ngf=64, s2d_tail=bool(int(os.environ.get("BENCH_S2D", "0"))),
-        # fused {norm->act->conv} Pallas units (ops/spade_block.py)
-        fused_block=bool(int(os.environ.get("BENCH_FUSED", "0")))))
+        # fused {norm->act->conv} Pallas units (ops/spade_block.py), the
+        # default since round 4; BENCH_FUSED=0 restores the unfused blocks
+        fused_block=bool(int(os.environ.get("BENCH_FUSED", "1")))))
 
     k = jax.random.PRNGKey(0)
     tv = jax.jit(lambda key: tocg.init(
