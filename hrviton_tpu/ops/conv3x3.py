@@ -128,7 +128,9 @@ def _act(x, pre_act):
     if pre_act == "relu":
         return jax.nn.relu(x)
     if pre_act == "leaky0.2":
-        return jax.nn.leaky_relu(x, 0.2)
+        # max(x, 0.2x) == leaky_relu(x, 0.2) exactly for 0 < alpha < 1, and
+        # avoids where(x >= 0, ...): Mosaic rejects bf16 vector compares.
+        return jnp.maximum(x, 0.2 * x)
     raise ValueError(pre_act)
 
 
@@ -343,12 +345,120 @@ def _taps_bwd(pre_act, has_bias, res, g):
 _conv3x3_taps.defvjp(_taps_fwd, _taps_bwd)
 
 
+# --------------------------------------------- small-cout full-res conv ----
+# conv_img (32->3 at 1024x768, /root/reference/network_generator.py:220) is
+# the SPADE generator's last full-res op: XLA runs it at 9.3 ms/b4 — 3x its
+# MXU M-bound floor (#pixels cycles) — because the 3-lane output forces bad
+# layouts. This kernel feeds the halo from THREE clipped BlockSpec views of
+# x (rows i-1 / i / i+1: no manual DMA, so Cin needn't be lane-aligned),
+# builds ky-lane-merged rows and runs ONE kx-lane-merged dot (K = 3*Cin,
+# N = 3*Cout) with f32 product rolls. Measured 9.34 -> ~4.4 ms.
+
+_VTH = 8
+# Off by default: measured 10.82 vs 9.45 ms XLA at conv_img's shape — the op
+# is M-bound on the MXU (one pixel-row per cycle regardless of the tiny
+# K/N), so the kernel's fewer HBM trips can't offset its 3-view reads.
+# Kept as an exact, tested receipt; enable via this switch to re-measure.
+_VIEWS = False
+
+
+def _views_eligible(x_shape, w_shape, stride, padding, dtype) -> bool:
+    n, h, w, cin = x_shape
+    if not _VIEWS:
+        return False
+    if w_shape[:2] != (3, 3) or tuple(stride) != (1, 1) \
+            or tuple(padding) != (1, 1):
+        return False
+    if not (h % _VTH == 0 and w % 128 == 0 and h > _VTH):
+        return False
+    if _INTERPRET:
+        return w_shape[3] * 3 <= 128 and cin * 3 <= 128
+    if jax.default_backend() == "cpu" or dtype != jnp.bfloat16:
+        return False
+    # small-cout only: wider outputs belong to the banded kernel / XLA
+    return w_shape[3] * 3 <= 128 and cin * 3 <= 128 and h >= 512
+
+
+def _views_kernel(xu_ref, xc_ref, xd_ref, w_ref, b_ref, o_ref,
+                  *, pre_act):
+    # xu/xc/xd: (1, TH, W, C) blocks at rows i-1 / i / i+1 (clipped);
+    # w: (1, 3C, 3*cout) ky-row kx-lane merged; b: (1, cout);
+    # o: (1, TH, W, cout).
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    th = o_ref.shape[1]
+    wv = o_ref.shape[2]
+    cout = w_ref.shape[-1] // 3
+    dtype = o_ref.dtype
+    col = lax.broadcasted_iota(jnp.int32, (1, wv, 1), 1)
+
+    xc = _act(xc_ref[0], pre_act)
+    up_row = _act(xu_ref[0, th - 1:th], pre_act)
+    up_row = jnp.where(i == 0, jnp.zeros_like(up_row), up_row)
+    dn_row = _act(xd_ref[0, 0:1], pre_act)
+    dn_row = jnp.where(i == n_i - 1, jnp.zeros_like(dn_row), dn_row)
+    band0 = jnp.concatenate([up_row, xc[:th - 1]], axis=0)
+    band2 = jnp.concatenate([xc[1:], dn_row], axis=0)
+    rows3 = jnp.concatenate([band0, xc, band2], axis=-1)   # (TH, W, 3C)
+
+    p = lax.dot_general(rows3, w_ref[0],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    acc = jnp.zeros((th, wv, cout), jnp.float32)
+    for kx in range(3):
+        acc = acc + _roll_cols(p[..., kx * cout:(kx + 1) * cout],
+                               kx, wv, col)
+    o_ref[0] = acc.astype(dtype) + b_ref[0].astype(dtype)
+
+
+def _conv3x3_views_pallas(x, w, bias, pre_act):
+    n, h, ww, cin = x.shape
+    cout = w.shape[-1]
+    wk = jnp.concatenate(
+        [w[:, kx].reshape(3 * cin, cout) for kx in range(3)],
+        axis=-1).reshape(1, 3 * cin, 3 * cout).astype(x.dtype)
+    b = (jnp.zeros((1, cout), jnp.float32) if bias is None
+         else bias.reshape(1, cout).astype(jnp.float32))
+    n_i = h // _VTH
+    blk = lambda off: pl.BlockSpec(
+        (1, _VTH, ww, cin),
+        lambda b_, i, o=off: (b_, jnp.clip(i + o, 0, n_i - 1), 0, 0))
+    return pl.pallas_call(
+        partial(_views_kernel, pre_act=pre_act),
+        out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), x.dtype),
+        grid=(n, n_i),
+        in_specs=[blk(-1), blk(0), blk(1),
+                  pl.BlockSpec(wk.shape, lambda b_, i: (0, 0, 0)),
+                  pl.BlockSpec((1, cout), lambda b_, i: (0, 0))],
+        out_specs=pl.BlockSpec((1, _VTH, ww, cout),
+                               lambda b_, i: (b_, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=_INTERPRET,
+    )(x, x, x, wk, b)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_views_cvjp(x, w, bias, pre_act, has_bias):
+    return _conv3x3_views_pallas(x, w, bias, pre_act)
+
+
+def _views_fwd(x, w, bias, pre_act, has_bias):
+    return _conv3x3_views_pallas(x, w, bias, pre_act), (x, w, bias)
+
+
+_conv3x3_views_cvjp.defvjp(_views_fwd, _cvjp_bwd)
+
+
 def conv3x3(x, w, bias=None, pre_act=None):
     """Fused pre_act -> 3x3/s1/p1 conv -> bias, Pallas when eligible.
 
     x: (N, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; bias: (Cout,) or None;
     pre_act: None | 'relu' | 'leaky0.2' applied to x before the conv.
     """
+    if _views_eligible(x.shape, w.shape, (1, 1), (1, 1), x.dtype):
+        return _conv3x3_views_cvjp(x, w, bias, pre_act, bias is not None)
     if conv3x3_eligible(x.shape, w.shape, (1, 1), (1, 1), x.dtype):
         return _conv3x3_cvjp(x, w, bias, pre_act, bias is not None)
     if _TAPS_WGRAD:
