@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from hrviton_tpu.config import PipelineConfig
 from hrviton_tpu.ops.blur import gaussian_blur
 from hrviton_tpu.ops.grid_sample import grid_sample, make_grid
-from hrviton_tpu.ops.parse import group_index_of_label13
+from hrviton_tpu.ops.parse import group_index_of_label13, lut_lookup
 from hrviton_tpu.ops.resize import interpolate, resize_flow
 
 
@@ -116,9 +116,10 @@ def condition_forward(
     # intermediate and no regroup matmul whose conv-layout output forced
     # relayout copies into every SPADE seg consumer in the composed graph.
     # One-hot values are exact in bf16, so the pipeline compute dtype is
-    # parity-free and keeps the seg convs in bf16.
-    glabel = jnp.take(jnp.asarray(group_index_of_label13()),
-                      fake_parse.astype(jnp.int32))
+    # parity-free and keeps the seg convs in bf16. lut_lookup (compare-select
+    # chain) instead of jnp.take: the 3.1M-point scalar gather measured
+    # 25 ms/batch composed (tools/exp_cond_knockout.py r4); this is <1 ms.
+    glabel = lut_lookup(fake_parse, group_index_of_label13())
     parse7 = (glabel[..., None] ==
               jnp.arange(7, dtype=jnp.int32)).astype(cloth.dtype)
     parse_labels = glabel.astype(jnp.int32)

@@ -29,7 +29,7 @@ from hrviton_tpu.losses.perceptual import vgg_perceptual_loss
 from hrviton_tpu.models import (ConditionGenerator, SPADEGenerator,
                                 SPADEMultiscaleDiscriminator)
 from hrviton_tpu.core.precision import cast_floating
-from hrviton_tpu.ops.parse import group_index_of_label13
+from hrviton_tpu.ops.parse import group_index_of_label13, lut_lookup
 from hrviton_tpu.pipelines.tryon import condition_forward
 from hrviton_tpu.train.optim import adam, lambda_decay_schedule
 from hrviton_tpu.train.state import GANState, NetState
@@ -95,9 +95,8 @@ class GeneratorTrainer:
             fake_parse = cond.fake_parse
             warped_cloth = cond.warped_cloth
         # LUT form of the 13->7 regroup (exact for argmax one-hots;
-        # see pipelines/tryon.py) -- elementwise, no regroup matmul
-        glabel = jnp.take(jnp.asarray(group_index_of_label13()),
-                          fake_parse.astype(jnp.int32))
+        # see pipelines/tryon.py) -- gather-free compare-select chain
+        glabel = lut_lookup(fake_parse, group_index_of_label13())
         parse7 = (glabel[..., None] ==
                   jnp.arange(7, dtype=jnp.int32)).astype(jnp.float32)
         gen_in = jnp.concatenate(
@@ -252,9 +251,8 @@ class GeneratorTrainer:
             warped_cloth = cond.warped_cloth
             fpg = cond.fake_parse_gauss
         # LUT form of the 13->7 regroup (exact for argmax one-hots;
-        # see pipelines/tryon.py) -- elementwise, no regroup matmul
-        glabel = jnp.take(jnp.asarray(group_index_of_label13()),
-                          fake_parse.astype(jnp.int32))
+        # see pipelines/tryon.py) -- gather-free compare-select chain
+        glabel = lut_lookup(fake_parse, group_index_of_label13())
         gen_in = jnp.concatenate(
             [batch["agnostic"], batch["densepose"], warped_cloth], axis=-1)
         out = self.gen.apply(state.g.variables(), gen_in,

@@ -166,3 +166,16 @@ def test_group_index_table_matches_onehot_weighted_sum():
     for dst, srcs in ops.LABELS_20_TO_13.items():
         for s in srcs:
             assert table[s] == dst
+
+
+def test_lut_lookup_matches_take():
+    # gather-free compare-select LUT (tools/exp_cond_knockout.py r4: the
+    # jnp.take form cost 25 ms/batch composed at 4x1024x768 on TPU)
+    rng = np.random.default_rng(11)
+    for table, n in [(ops.group_index_of_label13(), 13),
+                     (ops.group_index_of_label20(), 20)]:
+        labels = jnp.asarray(rng.integers(0, n, size=(2, 31, 17)), jnp.int32)
+        ref = jnp.take(jnp.asarray(table), labels)
+        got = ops.lut_lookup(labels, table)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

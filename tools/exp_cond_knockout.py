@@ -38,14 +38,19 @@ def arr(h, w, c, dtype=jnp.bfloat16):
 
 
 def timeit(name, fn, *args):
+    # salt EVERY floating leaf (incl. dict leaves — an unsalted dict lets
+    # XLA hoist the whole loop-invariant pipeline out of the lax.map and
+    # halves the measurement; the first run of this tool had that bug)
     salts = jnp.arange(K, dtype=jnp.float32) * 1e-6
 
     @jax.jit
     def many(*a):
         def one(s):
-            out = fn(*[x + s.astype(x.dtype) if hasattr(x, "dtype") and
-                       jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 4
-                       else x for x in a])
+            sa = jax.tree_util.tree_map(
+                lambda x: x + s.astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 4
+                else x, a)
+            out = fn(*sa)
             return jnp.mean(out.astype(jnp.float32))
         return jnp.sum(jax.lax.map(one, salts))
 
@@ -70,7 +75,7 @@ def main():
              "parse_agnostic": arr(FH, FW, 13), "densepose": arr(FH, FW, 3)}
 
     def cond(tv_, b, *, use_tocg=True, use_blur=True, use_warp=True,
-             use_down=True):
+             use_down=True, use_argmax=True, use_onehot=True):
         cloth = b["cloth"]
         cm = (b["cloth_mask"] > 0.5).astype(cloth.dtype)
         if use_down:
@@ -100,11 +105,17 @@ def main():
             fpg = gaussian_blur(seg_full, (15, 15), (3.0, 3.0))
         else:
             fpg = interpolate(seg, size=(FH, FW), mode="nearest")
-        fake_parse = jnp.argmax(fpg, axis=-1)
-        glabel = jnp.take(jnp.asarray(group_index_of_label13()),
-                          fake_parse.astype(jnp.int32))
-        parse7 = (glabel[..., None] ==
-                  jnp.arange(7, dtype=jnp.int32)).astype(cloth.dtype)
+        if use_argmax:
+            fake_parse = jnp.argmax(fpg, axis=-1)
+        else:  # stub: cheap elementwise proxy keeping fpg live
+            fake_parse = (jnp.sum(fpg, -1) > 0).astype(jnp.int32)
+        if use_onehot:
+            glabel = jnp.take(jnp.asarray(group_index_of_label13()),
+                              fake_parse.astype(jnp.int32))
+            parse7 = (glabel[..., None] ==
+                      jnp.arange(7, dtype=jnp.int32)).astype(cloth.dtype)
+        else:  # stub: skip LUT gather + 7-way one-hot
+            parse7 = fpg[..., :7] + fake_parse[..., None].astype(cloth.dtype)
         if use_warp:
             flow_full = resize_flow(flow_list[-1], (FH, FW), mode="bilinear")
             fn = jnp.stack([flow_full[..., 0] / pcfg.flow_norm_w,
@@ -121,7 +132,11 @@ def main():
     for tag, kw in [("no tocg (stub)", dict(use_tocg=False)),
                     ("no blur-chain (nearest, no gauss)", dict(use_blur=False)),
                     ("no warp (scaled copy)", dict(use_warp=False)),
-                    ("no downsamples (strided)", dict(use_down=False))]:
+                    ("no downsamples (strided)", dict(use_down=False)),
+                    ("no argmax (sum proxy)", dict(use_argmax=False)),
+                    ("no LUT+onehot (slice proxy)", dict(use_onehot=False)),
+                    ("no parse path at all",
+                     dict(use_argmax=False, use_onehot=False))]:
         t = timeit(f"condition {tag}", lambda a, b, kw=kw: cond(a, b, **kw),
                    tv, batch)
         print(f"  -> attributed: {1e3 * (t_full - t):7.2f} ms", flush=True)
