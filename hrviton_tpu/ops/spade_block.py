@@ -102,10 +102,13 @@ def _pipe_lag(ksize: int) -> int:
 
 def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
             wgb_ref, bgb_ref, wc_ref, bc_ref, res_ref, o_ref,
-            at, ring, sem, *, ksize, pre_act, has_res):
+            at, ring, sem, *, ksize, pre_act, has_res, knock=()):
+    # `knock`: TIMING-ONLY attribution stubs (tools/exp_block_knockout.py).
+    # Empty (the only production value) compiles the exact kernel below;
+    # each tag statically removes one stage to localize where the ms go.
     # x_ref: (1, TH, W, C) aligned band i (BlockSpec, clamped past n_i);
     # noise_ref: (1, 1, TH, W) f32 band; nsc/mu/rsig: (1, 1, C) f32;
-    # wgb: (3_kx, 3_ky*NH, 2C) gamma|beta tight-merged; bgb: (1, 1, 2C);
+    # wgb: (1, 3_ky*NH, 3_kx*2C) kx-lane-merged gamma|beta; bgb: (1, 1, 2C);
     # wc: (1, 3C, 3*cout) kx-lane-merged (3x3) or (1, C, cout) (1x1);
     # bc: (1, cout); res/o: (1, TH, W, cout) blocks at the LAGGED index.
     # Scratch: at (2, TH+2, W, NH) double-buffered actv halo bands,
@@ -119,7 +122,7 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
     ns = ring.shape[0]
     dtype = o_ref.dtype
     c = ring.shape[-1]
-    ngb = wgb_ref.shape[-1]          # == 2C
+    ngb = wgb_ref.shape[-1] // 3     # == 2C
     col = lax.broadcasted_iota(jnp.int32, (1, wv, 1), 1)
     nh = at.shape[-1]
 
@@ -148,7 +151,8 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
 
     @pl.when(i == 0)
     def _():
-        fetch(0, 0, True)
+        if "actv_dma" not in knock:
+            fetch(0, 0, True)
         if ksize == 3:
             # mod row -1 (the conv's zero padding) for the j=0 consumer's
             # ky=0 band: slot ns-1 is not produced until step ns-1 > lag
@@ -156,13 +160,15 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
 
     @pl.when(jnp.logical_and(i + 1 < n_i, True))
     def _():
-        fetch((i + 1) % 2, i + 1, True)
+        if "actv_dma" not in knock:
+            fetch((i + 1) % 2, i + 1, True)
 
     # ---------------------------------------------------------- producer --
     @pl.when(i < n_i)
     def _():
         slot = i % 2
-        fetch(slot, i, False)
+        if "actv_dma" not in knock:
+            fetch(slot, i, False)
 
         @pl.when(i == 0)
         def _():
@@ -172,27 +178,44 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
         def _():
             at[slot, th + 1] = jnp.zeros((wv, nh), at.dtype)
 
-        # gamma|beta: ky lane-merged actv bands (mod row r needs actv band
-        # rows r..r+2), 3 kx dots + f32 product rolls; N tight-packed as
-        # gamma [0, C) | beta [C, 2C) (non-128 lane slices are shuffles;
-        # SUBLANE value slicing is the hazardous case).
-        rows3a = jnp.concatenate(
-            [jax.nn.relu(at[pl.ds(slot, 1), ky:ky + th][0])
-             for ky in range(3)], axis=-1)                 # (TH, W, 3NH)
-        gb = jnp.zeros((th, wv, ngb), jnp.float32)
-        for kx in range(3):
-            p = lax.dot_general(rows3a, wgb_ref[kx],
+        if "prod_dots" in knock:
+            gbd = jnp.zeros((th, wv, ngb), dtype) + bgb_ref[0, 0].astype(dtype)
+        else:
+            # gamma|beta: ky lane-merged actv bands (mod row r needs actv band
+            # rows r..r+2), ONE kx-lane-merged dot + f32 product rolls; N is
+            # 3 kx groups of [gamma (C) | beta (C)] tight-packed lanes.
+            # Knockout attribution (tools/exp_block_knockout.py) showed the
+            # kernel MXU-bound on THIS dot: 3 separate N=2C dots pad each to
+            # the 128-lane MXU tile (2C=160 -> 256, 1.6x pad waste at up_4);
+            # merging kx into lanes pads once (480 -> 512, 1.07x), the same
+            # trick the consumer dot below always used. Non-128 lane slices
+            # are shuffles; SUBLANE value slicing is the hazardous case.
+            rows3a = jnp.concatenate(
+                [jax.nn.relu(at[pl.ds(slot, 1), ky:ky + th][0])
+                 for ky in range(3)], axis=-1)                 # (TH, W, 3NH)
+            p = lax.dot_general(rows3a, wgb_ref[0],
                                 dimension_numbers=(((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            gb = gb + _roll_cols(p, kx, wv, col)
-        gbd = gb.astype(dtype) + bgb_ref[0, 0].astype(dtype)
+            gb = jnp.zeros((th, wv, ngb), jnp.float32)
+            for kx in range(3):
+                q = p[..., kx * ngb:(kx + 1) * ngb]
+                gb = gb + (q if "prod_rolls" in knock
+                           else _roll_cols(q, kx, wv, col))
+            gbd = gb.astype(dtype) + bgb_ref[0, 0].astype(dtype)
 
         # noise-add + normalize + modulate (f32 stats math, dtype chain)
         xn = x_ref[0] + (noise_ref[0, 0][:, :, None]
                          * nsc_ref[0]).astype(dtype)
-        normalized = ((xn.astype(jnp.float32) - mu_ref[0]) *
-                      rsig_ref[0]).astype(dtype)
-        ring[i % ns] = normalized * (1.0 + gbd[..., :c]) + gbd[..., c:2 * c]
+        if "normalize" in knock:
+            normalized = xn
+        else:
+            normalized = ((xn.astype(jnp.float32) - mu_ref[0]) *
+                          rsig_ref[0]).astype(dtype)
+        if "modulate" in knock:
+            ring[i % ns] = normalized + gbd[..., :c]
+        else:
+            ring[i % ns] = (normalized * (1.0 + gbd[..., :c])
+                            + gbd[..., c:2 * c])
 
     if ksize == 3:
         # last consumer's ky=2 tail: mod row H (zero padding). Slot n_i%ns
@@ -206,7 +229,11 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
     def _():
         j = i - lag
         jj = j % ns
-        if ksize == 3:
+        if "cons_dots" in knock and ksize == 3:
+            cout = wc_ref.shape[-1] // 3
+            band1 = ring[pl.ds(jj, 1)][0]
+            acc = _act(band1, pre_act)[..., :cout].astype(jnp.float32)
+        elif ksize == 3:
             jm1 = (j - 1) % ns
             jp1 = (j + 1) % ns
             band0 = jnp.concatenate([ring[pl.ds(jm1, 1), th - 1:th][0],
@@ -224,8 +251,10 @@ def _kernel(x_ref, noise_ref, actv_hbm, nsc_ref, mu_ref, rsig_ref,
                                 preferred_element_type=jnp.float32)
             acc = jnp.zeros((th, wv, cout), jnp.float32)
             for kx in range(3):
-                acc = acc + _roll_cols(p[..., kx * cout:(kx + 1) * cout],
-                                       kx, wv, col)
+                acc = acc + (p[..., kx * cout:(kx + 1) * cout]
+                             if "cons_rolls" in knock else
+                             _roll_cols(p[..., kx * cout:(kx + 1) * cout],
+                                        kx, wv, col))
         else:
             cout = wc_ref.shape[-1]
             rows = _act(ring[pl.ds(jj, 1)][0], pre_act)
@@ -249,7 +278,7 @@ def _stats(x, noise, nscale, c):
 
 
 def fused_spade_conv(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
-                     *, pre_act=None, residual=None):
+                     *, pre_act=None, residual=None, _knock=()):
     """Fused SPADE-norm + consumer conv unit (see module docstring).
 
     x: (B, H, W, C) compute dtype; noise: (B, H, W, 1) f32; nscale: (C,);
@@ -268,10 +297,14 @@ def fused_spade_conv(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
 
     mu, rsig = _stats(x, noise, nscale, c)
 
-    # wgb: (3_kx, 3_ky*NH, 2C) — TIGHT gamma [0:C) | beta [C:2C) lanes
+    # wgb: (1, 3_ky*NH, 3_kx*2C) — kx lane groups of TIGHT gamma|beta lanes
+    # (one MXU dot instead of 3 lane-padded ones; see kernel comment)
     def halfw(w_):
         return w_.transpose(1, 0, 2, 3).reshape(3, 3 * nh, c)
-    wgb = jnp.concatenate([halfw(wg), halfw(wb)], axis=-1).astype(x.dtype)
+    wg3, wb3 = halfw(wg), halfw(wb)
+    wgb = jnp.concatenate(
+        [jnp.concatenate([wg3[kx], wb3[kx]], axis=-1) for kx in range(3)],
+        axis=-1).reshape(1, 3 * nh, 6 * c).astype(x.dtype)
     bgb = jnp.concatenate([bg.astype(jnp.float32), bb.astype(jnp.float32)])
 
     # consumer kernel: K = ky*C + cin rows matching the ring lane concat;
@@ -297,7 +330,8 @@ def fused_spade_conv(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
                 else pl.BlockSpec((1, 1, 1, 1), lambda b_, i: (0, 0, 0, 0)))
 
     return pl.pallas_call(
-        partial(_kernel, ksize=ksize, pre_act=pre_act, has_res=has_res),
+        partial(_kernel, ksize=ksize, pre_act=pre_act, has_res=has_res,
+                knock=tuple(_knock)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
         grid=(n, n_i + lag),
         in_specs=[
@@ -308,7 +342,7 @@ def fused_spade_conv(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
             pl.BlockSpec((1, 1, c), lambda b_, i: (0, 0, 0)),   # nscale
             pl.BlockSpec((1, 1, c), lambda b_, i: (b_, 0, 0)),  # mu
             pl.BlockSpec((1, 1, c), lambda b_, i: (b_, 0, 0)),  # rsig
-            pl.BlockSpec((3, 3 * nh, 2 * c), lambda b_, i: (0, 0, 0)),
+            pl.BlockSpec((1, 3 * nh, 6 * c), lambda b_, i: (0, 0, 0)),
             pl.BlockSpec((1, 1, 2 * c), lambda b_, i: (0, 0, 0)),  # bgb
             pl.BlockSpec(wck.shape, lambda b_, i: (0,) * 3),    # wc
             pl.BlockSpec((1, cout), lambda b_, i: (0, 0)),      # bc
