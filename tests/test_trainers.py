@@ -245,3 +245,116 @@ def test_generator_train_step_split_d_matches_concat(vgg_small):
     for k in base:
         assert abs(base[k] - split[k]) <= 1e-4 * (1 + abs(base[k])), (
             k, base[k], split[k])
+
+
+# ---------------------------------------------------------------- convergence
+# Fixed-seed overfit smokes: the only obtainable evidence in this environment
+# (no real dataset / pretrained weights) that the two training loops actually
+# OPTIMIZE — i.e. the behavior of /root/reference/train_condition.py:276-282
+# and train_generator.py:297-322 — not merely produce finite losses. The
+# fixtures are structured (learnable): a disk-masked textured cloth whose
+# target mask/texture is the same disk shifted 8px (the flow can learn the
+# shift), and blocky parse labels (the seg head can overfit them).
+
+def _structured_cond_batch(n=2):
+    yy, xx = np.meshgrid(np.arange(COND_H), np.arange(COND_W), indexing="ij")
+
+    def disk(cx, cy, r):
+        return (((xx - cx) ** 2 + (yy - cy) ** 2) < r * r).astype(np.float32)
+
+    m_cloth = disk(28, 32, 16)    # flat product-photo mask
+    m_body = disk(36, 32, 16)     # same shape worn 8px to the right
+    tex = np.stack([np.sin(xx / 7.0 + c) * np.cos(yy / 9.0 - c)
+                    for c in range(3)], -1).astype(np.float32)
+    cloth = tex * m_cloth[..., None] + (1 - m_cloth[..., None])
+    im_c = (np.roll(tex, 8, axis=1) * m_body[..., None]
+            + (1 - m_body[..., None]))
+    labels = ((yy >= COND_H // 2) * 1 + (xx >= COND_W // 2) * 4).astype(np.int32)
+    labels = np.where(m_body > 0.5, 3, labels)
+
+    bb = lambda a: jnp.asarray(np.broadcast_to(a, (n,) + a.shape))
+    labels_b = np.broadcast_to(labels, (n, COND_H, COND_W))
+    parse = jnp.asarray(labels_b[..., None] == np.arange(13), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    return {
+        "cloth": {"paired": bb(cloth)},
+        "cloth_mask": {"paired": bb(m_cloth[..., None])},
+        "parse_agnostic": parse,
+        "densepose": jnp.asarray(rng.standard_normal(
+            (n, COND_H, COND_W, 3), dtype=np.float32) * 0.1),
+        "parse_onehot": jnp.asarray(labels_b.astype(np.int32)),
+        "parse": parse,
+        "pcm": parse[..., 3:4],
+        "parse_cloth": bb(im_c),
+    }
+
+
+def test_condition_training_converges(vgg_small):
+    """Overfit smoke: L1(warped mask, pcm) and CE(seg, labels) must FALL
+    (reference train_condition.py:276-282). Fails if either optimizer stops
+    optimizing (e.g. zero grads, wrong param wiring, lr plumbing)."""
+    tcfg = ConditionTrainConfig(g_lr=1e-3, d_lr=1e-3)
+    trainer = ConditionTrainer(TOCGConfig(ngf=8),
+                               CondDiscriminatorConfig(input_nc=33, ndf=8),
+                               tcfg)
+    state = trainer.init(jax.random.PRNGKey(0), cond_hw=(COND_H, COND_W))
+    batch = _structured_cond_batch()
+    key = jax.random.PRNGKey(1)
+    hist = []
+    for _ in range(60):
+        key, sub = jax.random.split(key)
+        state, m = trainer.train_step(state, batch, sub, vgg_small)
+        hist.append((float(m["loss/G/l1_cloth"]), float(m["loss/G/ce"])))
+    l1_0, ce_0 = hist[0]
+    l1_end = float(np.mean([h[0] for h in hist[-5:]]))
+    ce_end = float(np.mean([h[1] for h in hist[-5:]]))
+    # measured trajectory (seed 0): l1 0.108 -> ~0.01, ce 2.71 -> ~0.75
+    assert l1_end < 0.5 * l1_0, (l1_0, l1_end)
+    assert ce_end < 0.55 * ce_0, (ce_0, ce_end)
+
+
+def test_generator_training_converges_gt(vgg_small):
+    """Overfit smoke for stage 2 in --GT mode: the VGG perceptual loss must
+    FALL (reference train_generator.py:297-322)."""
+    import dataclasses
+    yy, xx = np.meshgrid(np.arange(FINE_H), np.arange(FINE_W), indexing="ij")
+    tex = np.stack([np.sin(xx / 9.0 + c) * np.cos(yy / 11.0 - c)
+                    for c in range(3)], -1).astype(np.float32)
+    hole = (((xx - 64) ** 2 + (yy - 64) ** 2) < 32 * 32)[..., None]
+    agn = np.where(hole, 0.5, tex).astype(np.float32)
+    labels = ((yy >= 64) * 1 + (xx >= 64) * 4).astype(np.int32)
+    labels = np.where(hole[..., 0], 3, labels)
+    bb = lambda a: jnp.asarray(np.broadcast_to(a, (2,) + a.shape))
+    labels_b = np.broadcast_to(labels, (2, FINE_H, FINE_W))
+    parse = jnp.asarray(labels_b[..., None] == np.arange(13), dtype=jnp.float32)
+    dp = np.stack([xx / FINE_W, yy / FINE_H,
+                   (xx + yy) / (FINE_H + FINE_W)], -1).astype(np.float32)
+    batch = {
+        "cloth": bb(tex),
+        "cloth_mask": jnp.ones((2, FINE_H, FINE_W, 1), jnp.float32),
+        "parse_agnostic": parse,
+        "densepose": bb(dp),
+        "agnostic": bb(agn),
+        "image": bb(tex),
+        "parse": parse,
+        "parse_cloth": bb(np.where(hole, tex, 1.0).astype(np.float32)),
+    }
+    pcfg = PipelineConfig(fine_height=FINE_H, fine_width=FINE_W,
+                          cond_height=COND_H, cond_width=COND_W)
+    gen_cfg = SPADEGenConfig(ngf=8, fine_height=FINE_H, fine_width=FINE_W,
+                             num_upsampling_layers="more")
+    tcfg = GeneratorTrainConfig(gt_mode=True, g_lr=1e-3, d_lr=1e-3,
+                                d_remat=False)
+    trainer = GeneratorTrainer(gen_cfg, SPADEDiscriminatorConfig(ndf=8),
+                               tcfg, pcfg, None)
+    frozen = {"vgg": vgg_small, "tocg": {}}
+    state = trainer.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    hist = []
+    for _ in range(30):
+        key, sub = jax.random.split(key)
+        state, m = trainer.train_step(state, batch, sub, frozen)
+        hist.append(float(m["loss/gen/VGG"]))
+    end = float(np.mean(hist[-5:]))
+    # measured trajectory (seed 0): 4.00 -> 1.16 by step 20, 0.70 by step 60
+    assert end < 0.5 * hist[0], (hist[0], end)
