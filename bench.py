@@ -84,12 +84,11 @@ def main():
         "agnostic": arr(3),
     }
 
-    # rbg uses the TPU hardware RNG instead of ~30-op threefry chains per
-    # draw; the SPADE stack draws ~50M normals per batch across its 21 norms
-    if int(os.environ.get("BENCH_RBG", "0")):
-        noise_key = jax.random.key(1, impl="rbg")
-    else:
-        noise_key = jax.random.PRNGKey(1)
+    # The SPADE stack draws ~50M normals per batch across its 21 norms;
+    # hardware RNG (impl="rbg") vs threefry was A/B'd composed in round 5:
+    # 21.79 vs 21.83 img/s — neutral (+0.2%, within run noise), so the
+    # threefry default stays and the knob was removed (receipt: ROADMAP §0c).
+    noise_key = jax.random.PRNGKey(1)
 
     # Methodology: the device tunnel has ~35ms fixed per-call latency and
     # block_until_ready does not reliably synchronize, so we run ITERS
