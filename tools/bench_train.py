@@ -133,7 +133,8 @@ def main():
             gt_mode=bool(int(os.environ.get("TB_GT", "0"))))
         gcfg = SPADEGenConfig(
             ngf=64, remat=bool(int(os.environ.get("TB_REMAT", "1"))),
-            s2d_tail=bool(int(os.environ.get("TB_S2D", "0"))))
+            s2d_tail=bool(int(os.environ.get("TB_S2D", "0"))),
+            fused_block=bool(int(os.environ.get("TB_FUSED", "1"))))
         tr = GeneratorTrainer(gcfg, SPADEDiscriminatorConfig(), tcfg, pcfg,
                               tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))
