@@ -213,6 +213,9 @@ def timeit_steps(tag, tr, knocks, state, batch, frozen):
         best = float("inf")
         for _ in range(2):
             state2, losses = steps(state2, batch, None, frozen)
+            float(losses[-1])   # SYNC before t0 — an un-synced async dispatch
+            # still executing at t0 doubles the timed window (measured: the
+            # same graph read 1430 ms/step here vs 721 in bench_train.py)
             t0 = time.perf_counter()
             state2, losses = steps(state2, batch, None, frozen)
             float(losses[-1])
