@@ -57,6 +57,24 @@ def get_opt(argv=None):
                         "HBM; enables larger per-chip batches). Default on; "
                         "--no_taps_wgrad restores XLA's im2col wgrad")
     p.add_argument("--no_taps_wgrad", dest="taps_wgrad", action="store_false")
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused SPADE-unit Pallas kernels in the TRAINING "
+                        "generator. Default OFF for training: the unit's "
+                        "custom VJP re-runs an isolated XLA forward per "
+                        "unit in backward — measured +50 ms/step at b2 "
+                        "1024x768 (ROADMAP §4, r5). Inference CLIs keep "
+                        "the kernels on (they win there)")
+    p.add_argument("--no_remat", dest="remat", action="store_false",
+                   default=True,
+                   help="store SPADE-block activations instead of "
+                        "rematerializing them in backward: -72 ms/step at "
+                        "b2 bf16 taps (r5) but needs the extra HBM — "
+                        "default on (safe); b2 with --taps_wgrad fits")
+    p.add_argument("--no_d_remat", dest="d_remat", action="store_false",
+                   default=True,
+                   help="store D activations instead of recomputing them "
+                        "in backward: -22 ms/step at b2 (r5); default on "
+                        "(safe)")
     p.add_argument("--allow_random_vgg", action="store_true",
                    help="run with a randomly initialized VGG19 perceptual "
                         "backbone (changes the training objective; smoke "
@@ -130,7 +148,8 @@ def main(argv=None):
         clothmask_composition=opt.clothmask_composition,
         lpips_count=opt.lpips_count, display_count=opt.display_count,
         save_count=opt.save_count, tensorboard_count=opt.tensorboard_count,
-        load_step=opt.load_step, bf16=opt.bf16, taps_wgrad=opt.taps_wgrad)
+        load_step=opt.load_step, bf16=opt.bf16, taps_wgrad=opt.taps_wgrad,
+        d_remat=opt.d_remat)
     pcfg = PipelineConfig(fine_height=opt.fine_height, fine_width=opt.fine_width,
                           cond_height=opt.cond_height, cond_width=opt.cond_width,
                           clothmask_composition=opt.clothmask_composition,
@@ -154,7 +173,8 @@ def main(argv=None):
     gen_cfg = SPADEGenConfig(ngf=opt.ngf, gen_semantic_nc=opt.gen_semantic_nc,
                              num_upsampling_layers=opt.num_upsampling_layers,
                              norm_g=opt.norm_G, fine_height=opt.fine_height,
-                             fine_width=opt.fine_width)
+                             fine_width=opt.fine_width,
+                             fused_block=opt.fused_block, remat=opt.remat)
     d_cfg = SPADEDiscriminatorConfig(gen_semantic_nc=opt.gen_semantic_nc,
                                      ndf=opt.ndf, n_layers_d=opt.n_layers_D,
                                      num_d=opt.num_D,

@@ -51,6 +51,10 @@ class SPADEGenConfig:
                                   # Exact math, identical param tree/RNG,
                                   # differentiable (custom VJP); 17.2 ->
                                   # 18.6 img/s composed inference (r4).
+                                  # TRAINING should turn this OFF (the unit
+                                  # VJP re-runs an isolated XLA forward per
+                                  # unit: +50 ms/step at b2 1024x768, r5;
+                                  # cli/train_generator.py defaults it off).
     # Measured-dead-end experiment knobs, owned here so no hidden trace-time
     # state decides the compiled graph (context managers in ops/ remain for
     # A/B scripts). All exact-math; all measured SLOWER composed (ROADMAP §1):

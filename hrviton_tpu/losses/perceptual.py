@@ -19,15 +19,30 @@ __all__ = ["VGGLossFn", "make_vgg_loss", "vgg_perceptual_loss"]
 _WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
-def vgg_perceptual_loss(vgg_variables, x, y,
-                        layids: Optional[Sequence[int]] = None):
+def vgg_features(vgg_variables, y):
+    """Stop-gradient VGG19 slice activations of a TARGET image — for use
+    with ``vgg_perceptual_loss(..., y_feats=...)`` so the target tower can
+    be computed OUTSIDE a jax.checkpoint region (it carries no gradients;
+    recomputing it in the backward is pure waste — measured ~1/5 of the
+    108 ms full-res VGG cost in the stage-2 step, tools/exp_train_knockout)."""
+    fy = Vgg19Features().apply(vgg_variables, jax.lax.stop_gradient(y))
+    return [jax.lax.stop_gradient(f) for f in fy]
+
+
+def vgg_perceptual_loss(vgg_variables, x, y=None,
+                        layids: Optional[Sequence[int]] = None,
+                        y_feats=None):
     """Functional VGG loss: pass the backbone variables explicitly so they ride
     as jit arguments (device buffers), never as HLO constants — embedding
     ~80 MB of weights in the program breaks remote-compile transports and
-    bloats every executable."""
+    bloats every executable.
+
+    Pass the target as ``y`` (image; its tower is computed here) or as
+    ``y_feats`` (``vgg_features(y)`` precomputed outside the caller's
+    checkpoint region) — identical numerics either way."""
     vgg = Vgg19Features()
     fx = vgg.apply(vgg_variables, x)
-    fy = vgg.apply(vgg_variables, jax.lax.stop_gradient(y))
+    fy = vgg_features(vgg_variables, y) if y_feats is None else y_feats
     ids = layids if layids is not None else range(len(fx))
     loss = 0.0
     for i in ids:

@@ -47,6 +47,34 @@ import contextlib as _contextlib
 
 _MERGE_GB = False
 
+# TIMING-ONLY composed-knockout hooks (tools/exp_gen_knockout.py): each tag
+# statically replaces one generator piece with a shape-preserving stub so the
+# composed-pipeline diff attributes its in-context cost (the only honest
+# attribution method — ROADMAP §4's measurement-hygiene rule). Never active
+# in production; empty set compiles the exact production graph.
+_GEN_KNOCK: frozenset = frozenset()
+
+
+@_contextlib.contextmanager
+def gen_knock(tags):
+    """Timing-only: statically stub generator pieces. Tags: 'conv_shared',
+    'seg_for', 'unit', 'stats', 'features', 'conv_img' (and the in-kernel
+    tags of ops/spade_block.py, forwarded)."""
+    global _GEN_KNOCK
+    prev = _GEN_KNOCK
+    _GEN_KNOCK = frozenset(tags)
+    try:
+        yield
+    finally:
+        _GEN_KNOCK = prev
+
+
+def _tie(shape, dtype, *tensors):
+    """A cheap const of `shape` data-tied to `tensors` (scalar reductions) so
+    a knocked piece's inputs aren't dead-code-eliminated out of the timing."""
+    s = sum(jnp.sum(t[..., :1].astype(jnp.float32)) * 0 for t in tensors)
+    return jnp.full(shape, 0.1, dtype) + s.astype(dtype)
+
 
 def enable_merge_gamma_beta(on: bool = True) -> None:
     global _MERGE_GB
@@ -143,8 +171,13 @@ class SPADENorm(nn.Module):
                 raise NotImplementedError("raw SPADENorm: instance only")
             noise1 = jax.random.normal(self.make_rng("noise"), (b, h, w, 1),
                                        dtype=jnp.float32)
-            actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
-                          name="conv_shared")(seg.astype(x.dtype))
+            if "conv_shared" in _GEN_KNOCK:   # timing-only (gen_knock)
+                Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
+                       name="conv_shared")(seg[:1, :1, :1].astype(x.dtype))
+                actv = _tie((b, h, w, self.nhidden), x.dtype, seg)
+            else:
+                actv = Conv2d(self.nhidden, 3, padding=1, kernel_init=_xavier,
+                              name="conv_shared")(seg.astype(x.dtype))
             wg, bg = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
                             name="conv_gamma")(actv, raw=True)
             wb, bb = Conv2d(self.norm_nc, 3, padding=1, kernel_init=_xavier,
@@ -303,6 +336,18 @@ class SPADEResBlock(nn.Module):
                     xin, seg, None, train, raw=True)
                 wc, bc = raw_conv(c_out, ksize, 1 if ksize == 3 else 0,
                                   use_bias, tag_conv, c_in)
+                if _GEN_KNOCK:   # timing-only stubs (gen_knock)
+                    if "unit" in _GEN_KNOCK:
+                        out = (xin[..., :c_out] if c_in >= c_out else
+                               jnp.concatenate(
+                                   [xin, xin[..., :c_out - c_in]], -1))
+                        out = out + _tie((), xin.dtype, actv, wc[0, 0])
+                        return out + residual if residual is not None else out
+                    from hrviton_tpu.ops.spade_block import fused_spade_conv
+                    return fused_spade_conv(
+                        xin, noise1, nsc, actv, wg, bg, wb, bb, wc, bc,
+                        pre_act=pre_act, residual=residual,
+                        _knock=tuple(_GEN_KNOCK))
                 return spade_conv_unit(pre_act, xin, noise1, nsc, actv,
                                        wg, bg, wb, bb, wc, bc, residual)
 
@@ -384,6 +429,9 @@ class SPADEGenerator(nn.Module):
             callers below — which require caller-resized seg — get the
             right grid (regression test: tests/test_s2d.py:84)."""
             th, tw = ref.shape[1], ref.shape[2]
+            if "seg_for" in _GEN_KNOCK:   # timing-only (gen_knock)
+                return _tie((x.shape[0], th, tw, cfg.gen_semantic_nc),
+                            x.dtype, seg if labels is None else labels)
             if labels is None:
                 if seg.shape[1:3] == (th, tw):
                     return seg
@@ -404,13 +452,23 @@ class SPADEGenerator(nn.Module):
         use_s2d = cfg.s2d_tail and cfg.num_upsampling_layers == "most"
 
         n_feats = 6 if use_s2d else 8
-        samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i), mode="nearest")
-                   for i in range(n_feats)]
-        features = [
-            Conv2d(nf * 16 if i == 0 else 16, 3, padding=1, kernel_init=_xavier,
-                   name=f"conv_{i}")(samples[i])
-            for i in range(n_feats)
-        ]
+        if "features" in _GEN_KNOCK:   # timing-only (gen_knock)
+            for i in range(n_feats):
+                Conv2d(nf * 16 if i == 0 else 16, 3, padding=1,
+                       kernel_init=_xavier, name=f"conv_{i}")(x[:, :1, :1])
+            features = [
+                _tie((x.shape[0], sh * 2 ** i, sw * 2 ** i,
+                      nf * 16 if i == 0 else 16), x.dtype, x)
+                for i in range(n_feats)]
+        else:
+            samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i),
+                                   mode="nearest")
+                       for i in range(n_feats)]
+            features = [
+                Conv2d(nf * 16 if i == 0 else 16, 3, padding=1,
+                       kernel_init=_xavier, name=f"conv_{i}")(samples[i])
+                for i in range(n_feats)
+            ]
 
         # remat: recompute each SPADE block in the backward pass instead of
         # storing its activations — full-res 1024x768 training does not fit a
@@ -504,6 +562,10 @@ class SPADEGenerator(nn.Module):
                 seg_for(features[7]), None, train, update_sn)
             out_nf = nf // 2
 
+        if "conv_img" in _GEN_KNOCK:   # timing-only (gen_knock)
+            Conv2d(3, 3, padding=1, kernel_init=_xavier,
+                   name="conv_img")(h[:, :1, :1], pre_act="leaky0.2")
+            return jnp.tanh(h[..., :3])
         h = Conv2d(3, 3, padding=1, kernel_init=_xavier,
                    name="conv_img")(h, pre_act="leaky0.2")
         return jnp.tanh(h)

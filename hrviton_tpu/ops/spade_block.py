@@ -295,7 +295,12 @@ def fused_spade_conv(x, noise, nscale, actv, wg, bg, wb, bb, wc, bc,
     ksize = wc.shape[0]
     assert h % _TH == 0 and h > _TH and w % _LANE == 0 and nh % _LANE == 0
 
-    mu, rsig = _stats(x, noise, nscale, c)
+    if "stats" in _knock:   # timing-only (exp_gen_knockout): skip the fused
+        # XLA stats pass; the kernel normalizes with consts instead
+        mu = jnp.zeros((n, c), jnp.float32)
+        rsig = jnp.ones((n, c), jnp.float32)
+    else:
+        mu, rsig = _stats(x, noise, nscale, c)
 
     # wgb: (1, 3_ky*NH, 3_kx*2C) — kx lane groups of TIGHT gamma|beta lanes
     # (one MXU dot instead of 3 lane-padded ones; see kernel comment)

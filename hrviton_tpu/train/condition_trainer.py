@@ -21,7 +21,7 @@ import optax
 from hrviton_tpu.config import (CondDiscriminatorConfig, ConditionTrainConfig,
                                 TOCGConfig)
 from hrviton_tpu.losses.gan import lsgan_loss
-from hrviton_tpu.losses.perceptual import vgg_perceptual_loss
+from hrviton_tpu.losses.perceptual import vgg_features, vgg_perceptual_loss
 from hrviton_tpu.losses.seg import cross_entropy2d, iou_metric
 from hrviton_tpu.losses.tv import flow_tv_suite
 from hrviton_tpu.models import CondMultiscaleDiscriminator, ConditionGenerator
@@ -108,7 +108,11 @@ class ConditionTrainer:
             warped_c = warped_c * warped_cm + (1.0 - warped_cm)
 
         loss_l1 = jnp.mean(jnp.abs(warped_cm - prep["pcm"]))
-        loss_vgg = vgg_perceptual_loss(vgg_vars, warped_c, prep["im_c"])
+        # one target tower for the main + 4 interflow VGG terms (same target
+        # image and resolution for all five; exact — see vgg_features)
+        im_c_feats = vgg_features(vgg_vars, prep["im_c"])
+        loss_vgg = vgg_perceptual_loss(vgg_vars, warped_c,
+                                       y_feats=im_c_feats)
 
         loss_tv = flow_tv_suite(
             flow_list, warped_clothmask=warped_cm,
@@ -135,7 +139,7 @@ class ConditionTrainer:
                 wm = remove_overlap(seg_softmax, wm)
                 loss_l1 = loss_l1 + jnp.mean(jnp.abs(wm - prep["pcm"])) / 2 ** (4 - i)
                 loss_vgg = loss_vgg + vgg_perceptual_loss(
-                    vgg_vars, wc, prep["im_c"]) / 2 ** (4 - i)
+                    vgg_vars, wc, y_feats=im_c_feats) / 2 ** (4 - i)
 
         ce = cross_entropy2d(seg, prep["label_onehot"])
 

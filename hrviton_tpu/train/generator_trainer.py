@@ -180,8 +180,11 @@ class GeneratorTrainer:
                 losses["GAN_Feat"] = feature_matching_loss(
                     pred_fake, pred_real, tcfg.lambda_feat)
             if not tcfg.no_vgg_loss:
-                # checkpoint the VGG tower: its full-res activations dominate
-                # backward memory
+                # checkpoint BOTH towers: precomputing the target tower
+                # outside the checkpoint (vgg_features) and passing it as a
+                # residual measured 591 vs 577 ms/step (r5) — holding the 5
+                # full-res target slices (~400 MB) across the G fwd+bwd
+                # costs more than the one-tower recompute it saves
                 losses["VGG"] = jax.checkpoint(vgg_perceptual_loss)(
                     frozen["vgg"], output, im) * tcfg.lambda_vgg
             total = sum(losses.values())

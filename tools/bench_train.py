@@ -126,6 +126,7 @@ def main():
             batch_size=B, bf16=bf16,
             split_d_batch=bool(int(os.environ.get("TB_SPLIT_D", "0"))),
             taps_wgrad=bool(int(os.environ.get("TB_TAPS", "1"))),
+            d_remat=bool(int(os.environ.get("TB_D_REMAT", "1"))),
             # attribution bisect knobs (composed-graph variants are the only
             # honest way to attribute step time — ROADMAP §4)
             no_vgg_loss=bool(int(os.environ.get("TB_NO_VGG", "0"))),
@@ -134,7 +135,10 @@ def main():
         gcfg = SPADEGenConfig(
             ngf=64, remat=bool(int(os.environ.get("TB_REMAT", "1"))),
             s2d_tail=bool(int(os.environ.get("TB_S2D", "0"))),
-            fused_block=bool(int(os.environ.get("TB_FUSED", "1"))))
+            # training default OFF (the unit VJP re-runs an isolated XLA
+            # forward per unit: +50 ms/step measured r5; matches
+            # cli/train_generator.py's default)
+            fused_block=bool(int(os.environ.get("TB_FUSED", "0"))))
         tr = GeneratorTrainer(gcfg, SPADEDiscriminatorConfig(), tcfg, pcfg,
                               tocg_cfg)
         state = tr.init(jax.random.PRNGKey(1))

@@ -262,7 +262,11 @@ def main():
     gcfg = SPADEGenConfig(ngf=8 if small else 64, fine_height=FH,
                           fine_width=FW,
                           num_upsampling_layers="more" if small else "most",
-                          remat=bool(int(os.environ.get("TK_REMAT", "1"))))
+                          remat=bool(int(os.environ.get("TK_REMAT", "1"))),
+                          # training default (cli/train_generator.py): the
+                          # unit VJP makes fused blocks a training loss (r5)
+                          fused_block=bool(int(os.environ.get("TK_FUSED",
+                                                              "0"))))
     tr = GeneratorTrainer(gcfg, SPADEDiscriminatorConfig(), tcfg, pcfg,
                           tocg_cfg)
     state = tr.init(jax.random.PRNGKey(1))
