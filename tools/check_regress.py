@@ -27,10 +27,11 @@ TOL = 0.05  # 5% either way
 KNOWN_GOOD = {
     # bench.py, b4 bf16 fused blocks, BENCH_ITERS>=10 (BENCH_r04)
     "unpaired_tryon_1024x768_inference_throughput": (21.98, "higher", "r4"),
-    # bench_train.py stage2: b2 bf16 scan taps_wgrad (BENCH_TRAIN_r04)
-    "stage2_ms_per_step": (669.5, "lower", "r4"),
-    # bench_train.py stage1: b8 (BENCH_TRAIN_r04)
-    "stage1_ms_per_step": (202.7, "lower", "r4"),
+    # bench_train.py stage2: b2 bf16 scan taps, fused off, remat/d_remat off
+    # (BENCH_TRAIN_r05: TB_FUSED=0 TB_REMAT=0 TB_D_REMAT=0)
+    "stage2_ms_per_step": (576.1, "lower", "r5"),
+    # bench_train.py stage1: b8 (BENCH_TRAIN_r05)
+    "stage1_ms_per_step": (201.0, "lower", "r5"),
 }
 
 
