@@ -94,38 +94,63 @@ def main():
     # block_until_ready does not reliably synchronize, so we run ITERS
     # pipeline invocations *inside one jit* (lax.map over stacked batches)
     # and force a scalar checksum readback — that times real device work.
+    #
+    # HARNESS SPREAD (r5, tools/exp_harness_diff.py): hoisting-proof loop
+    # wrappers around the IDENTICAL per-iteration graph (same XLA cost
+    # model, opcode bytes within 2%) time differently at b4 — stacked
+    # inputs (this default) 184 ms/batch, fully salted inputs(+weights)
+    # 219. The spread is while-loop schedule quality, not work; neither is
+    # provably the production per-dispatch rate. The stacked default is
+    # kept for r1-r5 continuity (and is hoist-proof: each iteration slices
+    # a distinct stacked row); BENCH_SALTED=1 emits the salted-harness
+    # number instead, with a "harness" JSON field marking it
+    # non-comparable (receipts: ROADMAP §1).
+    salted = int(os.environ.get("BENCH_SALTED", "0"))
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (ITERS, *x.shape)), batch)
+    salts = jnp.arange(ITERS, dtype=jnp.float32) * 1e-6
 
     @jax.jit
     def step_many(tocg_vars, gen_vars, bs):
-        def tocg_apply(i1, i2):
-            return tocg.apply(tocg_vars, i1, i2, train=False)
+        def one(tv_, gv_, b):
+            def tocg_apply(i1, i2):
+                return tocg.apply(tv_, i1, i2, train=False)
 
-        def gen_apply(x, seg):
-            return gen.apply(gen_vars, x, seg, train=False,
-                             rngs={"noise": noise_key})
-
-        def one(b):
+            def gen_apply(x, seg):
+                return gen.apply(gv_, x, seg, train=False,
+                                 rngs={"noise": noise_key})
             out, _ = tryon_forward(tocg_apply, gen_apply, b, pcfg)
             return jnp.mean(out.astype(jnp.float32))
 
-        return jnp.sum(jax.lax.map(one, bs))
+        if salted:
+            def one_salted(s):
+                tv_s, gv_s, b_s = jax.tree_util.tree_map(
+                    lambda x: x + s.astype(x.dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 4
+                    else x, (tocg_vars, gen_vars, bs))
+                return one(tv_s, gv_s, b_s)
+            return jnp.sum(jax.lax.map(one_salted, salts))
+        return jnp.sum(jax.lax.map(
+            lambda b: one(tocg_vars, gen_vars, b), bs))
 
-    float(step_many(tv, gv, stacked))  # warmup / compile
+    bench_in = batch if salted else stacked
+    float(step_many(tv, gv, bench_in))  # warmup / compile
     t0 = time.perf_counter()
-    checksum = float(step_many(tv, gv, stacked))
+    checksum = float(step_many(tv, gv, bench_in))
     dt = time.perf_counter() - t0
     assert checksum == checksum, "NaN checksum"
 
     imgs_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    doc = {
         "metric": "unpaired_tryon_1024x768_inference_throughput",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / PYTORCH_A100_BASELINE_IMGS_PER_SEC, 3),
         "baseline_basis": "estimated 2.0 img/s PyTorch A100 (reference publishes no inference number)",
-    }))
+    }
+    if salted:
+        doc["harness"] = "salted (BENCH_SALTED=1; not comparable to the r1-r5 stacked default)"
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -70,9 +70,14 @@ def gen_knock(tags):
 
 
 def _tie(shape, dtype, *tensors):
-    """A cheap const of `shape` data-tied to `tensors` (scalar reductions) so
-    a knocked piece's inputs aren't dead-code-eliminated out of the timing."""
-    s = sum(jnp.sum(t[..., :1].astype(jnp.float32)) * 0 for t in tensors)
+    """A cheap const of `shape` data-tied to `tensors` (FULL-tensor scalar
+    reductions) so a knocked piece's inputs aren't dead-code-eliminated out
+    of the timing. The reduction must touch EVERY element: a first version
+    summed only `t[..., :1]`, which let XLA DCE the producers of the other
+    channels — knocking the feature pyramid then silently deleted the warp
+    (gen_in channels 6:9) and inflated that attribution from ~(real) to
+    69-77 ms. Full sums cost one read of each tied tensor (~0.1 ms/GB)."""
+    s = sum(jnp.sum(t.astype(jnp.float32)) * 0 for t in tensors)
     return jnp.full(shape, 0.1, dtype) + s.astype(dtype)
 
 
@@ -341,7 +346,9 @@ class SPADEResBlock(nn.Module):
                         out = (xin[..., :c_out] if c_in >= c_out else
                                jnp.concatenate(
                                    [xin, xin[..., :c_out - c_in]], -1))
-                        out = out + _tie((), xin.dtype, actv, wc[0, 0])
+                        # tie xin FULLY: the channel slice alone would DCE
+                        # upstream producers of channels >= c_out
+                        out = out + _tie((), xin.dtype, xin, actv, wc[0, 0])
                         return out + residual if residual is not None else out
                     from hrviton_tpu.ops.spade_block import fused_spade_conv
                     return fused_spade_conv(
@@ -461,9 +468,21 @@ class SPADEGenerator(nn.Module):
                       nf * 16 if i == 0 else 16), x.dtype, x)
                 for i in range(n_feats)]
         else:
-            samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i),
-                                   mode="nearest")
-                       for i in range(n_feats)]
+            if "pyramid" in _GEN_KNOCK:   # timing-only: const samples,
+                # real convs — splits the features attribution between the
+                # 8-scale nearest-resize chain and the convs themselves
+                samples = [_tie((x.shape[0], sh * 2 ** i, sw * 2 ** i,
+                                 x.shape[-1]), x.dtype, x)
+                           for i in range(n_feats)]
+            else:
+                # (A progressive-halving pyramid — each level a ::2 slice
+                # of the previous, bit-exact — measured composed-NEUTRAL
+                # at 21.1 vs 21.8 img/s r5 and was reverted; the apparent
+                # 69 ms pyramid cost was a knockout-tie artifact, see
+                # _tie's docstring and ROADMAP §1.)
+                samples = [interpolate(x, size=(sh * 2 ** i, sw * 2 ** i),
+                                       mode="nearest")
+                           for i in range(n_feats)]
             features = [
                 Conv2d(nf * 16 if i == 0 else 16, 3, padding=1,
                        kernel_init=_xavier, name=f"conv_{i}")(samples[i])

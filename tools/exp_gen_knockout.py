@@ -41,7 +41,8 @@ B, K = 4, 10
 FH, FW, CH, CW = 1024, 768, 256, 192
 _rng = np.random.default_rng(0)
 
-KNOCKS = ("conv_shared", "seg_for", "stats", "unit", "features", "conv_img")
+KNOCKS = ("conv_shared", "seg_for", "stats", "unit", "features", "pyramid",
+          "conv_img")
 
 
 def arr(h, w, c, dtype=jnp.bfloat16):
