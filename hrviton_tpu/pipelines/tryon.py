@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from hrviton_tpu.config import PipelineConfig
 from hrviton_tpu.ops.blur import gaussian_blur
@@ -166,7 +167,13 @@ def tryon_forward(
     cond = condition_forward(tocg_apply, batch, cfg, cloth_key, clothmask_key)
     gen_in = jnp.concatenate(
         [batch["agnostic"], batch["densepose"], cond.warped_cloth], axis=-1)
-    # compact labels, not the full-res one-hot: SPADEGenerator one-hots per
-    # scale locally (exact; recovers the composed-graph seg-interface cost)
-    output = generator_apply(gen_in, cond.parse_labels)
+    # Materialize the stage interface (identity barrier) so the generator's
+    # 8-scale strided pyramid slices read a DENSE buffer instead of pulling
+    # the warp/concat producer chain into each slice: −35.8 ms/b4 composed
+    # in the salted-loop harness (218.7 → 182.9, after which the salted and
+    # stacked wrappers AGREE at ~183 ms), neutral in bench.py's stacked
+    # wrapper which never paid the pathology (r5 receipts:
+    # tools/exp_gen_knockout.py 'pyramid' knock + ROADMAP §1).
+    gen_in, labels = lax.optimization_barrier((gen_in, cond.parse_labels))
+    output = generator_apply(gen_in, labels)
     return output, cond
